@@ -1,0 +1,124 @@
+"""Golden numeric tests: ops vs brute-force reference math on tiny inputs.
+
+The reference only asserts output shapes (SURVEY.md §4); these tests pin the
+actual numbers so kernel rewrites (Pallas) can be verified against them.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torecsys_tpu.ops.embedding import field_offsets, fused_offset_lookup
+from torecsys_tpu.ops.interactions import (
+    afm_pairwise_products,
+    cin_interaction,
+    cross_layer,
+    ffm_pairwise_interaction,
+    fm_pairwise_interaction,
+    inner_product_pairs,
+    outer_product_pairs,
+)
+from torecsys_tpu.utils.operations import pair_indices
+
+
+def test_fm_matches_bruteforce(np_rng):
+    b, n, e = 4, 5, 3
+    x = np_rng.normal(size=(b, n, e)).astype(np.float32)
+    got = np.asarray(fm_pairwise_interaction(jnp.asarray(x)))
+    want = np.zeros((b, e), dtype=np.float32)
+    for i in range(n):
+        for j in range(n):
+            if i < j:
+                want += x[:, i, :] * x[:, j, :]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_ffm_matches_double_loop(np_rng):
+    b, n, e = 2, 4, 3
+    x = np_rng.normal(size=(b, n * n, e)).astype(np.float32)
+    got = np.asarray(ffm_pairwise_interaction(jnp.asarray(x), n))
+    x4 = x.reshape(b, n, n, e)
+    want = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            want.append(x4[:, i, j, :] * x4[:, j, i, :])
+    want = np.stack(want, axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_afm_products(np_rng):
+    b, n, e = 3, 4, 2
+    x = np_rng.normal(size=(b, n, e)).astype(np.float32)
+    got = np.asarray(afm_pairwise_products(jnp.asarray(x)))
+    rows, cols = pair_indices(n)
+    want = x[:, rows, :] * x[:, cols, :]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_inner_product_pairs(np_rng):
+    b, n, e = 3, 5, 4
+    x = np_rng.normal(size=(b, n, e)).astype(np.float32)
+    got = np.asarray(inner_product_pairs(jnp.asarray(x)))
+    want = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            want.append((x[:, i, :] * x[:, j, :]).sum(-1))
+    want = np.stack(want, axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("kernel_type", ["mat", "vec", "num"])
+def test_outer_product_pairs(np_rng, kernel_type):
+    b, n, e = 2, 4, 3
+    p = n * (n - 1) // 2
+    x = np_rng.normal(size=(b, n, e)).astype(np.float32)
+    shape = {"mat": (e, p, e), "vec": (p, e), "num": (p, 1)}[kernel_type]
+    k = np_rng.normal(size=shape).astype(np.float32)
+    got = np.asarray(outer_product_pairs(jnp.asarray(x), jnp.asarray(k), kernel_type))
+    rows, cols = pair_indices(n)
+    want = np.zeros((b, p), dtype=np.float32)
+    for pi, (i, j) in enumerate(zip(rows, cols)):
+        outer = np.einsum("be,bf->bef", x[:, i, :], x[:, j, :])  # (B, E, E)
+        if kernel_type == "mat":
+            want[:, pi] = np.einsum("bef,ef->b", outer, k[:, pi, :])
+        elif kernel_type == "vec":
+            want[:, pi] = np.einsum("be,be->b", x[:, i, :] * x[:, j, :], np.broadcast_to(k[pi], (b, e)))
+        else:
+            want[:, pi] = (x[:, i, :] * x[:, j, :]).sum(-1) * k[pi, 0]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_cross_layer_recurrence(np_rng):
+    b, d = 3, 6
+    x0 = np_rng.normal(size=(b, d)).astype(np.float32)
+    x = np_rng.normal(size=(b, d)).astype(np.float32)
+    w = np_rng.normal(size=(d,)).astype(np.float32)
+    bias = np_rng.normal(size=(d,)).astype(np.float32)
+    got = np.asarray(cross_layer(jnp.asarray(x0), jnp.asarray(x), jnp.asarray(w), jnp.asarray(bias)))
+    want = x0 * (x @ w)[:, None] + bias[None, :] + x
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_cin_interaction(np_rng):
+    b, n, h, o, e = 2, 3, 4, 5, 6
+    x0 = np_rng.normal(size=(b, n, e)).astype(np.float32)
+    xk = np_rng.normal(size=(b, h, e)).astype(np.float32)
+    w = np_rng.normal(size=(o, h, n)).astype(np.float32)
+    got = np.asarray(cin_interaction(jnp.asarray(x0), jnp.asarray(xk), jnp.asarray(w)))
+    want = np.einsum("bhe,bne,ohn->boe", xk, x0, w)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_field_offsets_and_fused_lookup(np_rng):
+    sizes = (4, 3, 5)
+    offs = field_offsets(sizes)
+    np.testing.assert_array_equal(offs, [0, 4, 7])
+    table = np_rng.normal(size=(12, 2)).astype(np.float32)
+    ids = np.array([[1, 2, 0], [3, 0, 4]], dtype=np.int32)
+    got = np.asarray(fused_offset_lookup(jnp.asarray(table), jnp.asarray(ids), offs))
+    want = np.stack([
+        np.stack([table[1], table[4 + 2], table[7 + 0]]),
+        np.stack([table[3], table[4 + 0], table[7 + 4]]),
+    ])
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -1,0 +1,131 @@
+"""Distributed tests on the 8-virtual-CPU-device rig: sharded lookup parity,
+sharded train-step parity vs single device (SURVEY.md §4 additions b)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torecsys_tpu.parallel import (
+    LookupContext,
+    make_mesh,
+    sharded_lookup,
+    shard_params,
+    use_sharded_lookup,
+)
+
+requires_8_devices = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+@requires_8_devices
+def test_make_mesh_shapes():
+    mesh = make_mesh(data=4, table=2)
+    assert mesh.shape == {"data": 4, "table": 2}
+    mesh2 = make_mesh(table=4)
+    assert mesh2.shape == {"data": 2, "table": 4}
+
+
+@requires_8_devices
+@pytest.mark.parametrize("data,table", [(4, 2), (2, 4), (8, 1), (1, 8)])
+def test_sharded_lookup_matches_plain_gather(data, table, np_rng):
+    mesh = make_mesh(data=data, table=table)
+    v, e, b, k = 64, 16, 16, 5
+    tbl = np_rng.normal(size=(v, e)).astype(np.float32)
+    ids = np_rng.integers(0, v, size=(b, k)).astype(np.int32)
+    ctx = LookupContext(mesh=mesh)
+    got = np.asarray(sharded_lookup(jnp.asarray(tbl), jnp.asarray(ids), ctx))
+    want = tbl[ids]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@requires_8_devices
+def test_sharded_lookup_unpadded_rows(np_rng):
+    """Row count not divisible by the table axis (pad path)."""
+    mesh = make_mesh(data=2, table=4)
+    v, e = 37, 8  # 37 % 4 != 0
+    tbl = np_rng.normal(size=(v, e)).astype(np.float32)
+    ids = np_rng.integers(0, v, size=(8, 3)).astype(np.int32)
+    ctx = LookupContext(mesh=mesh)
+    got = np.asarray(sharded_lookup(jnp.asarray(tbl), jnp.asarray(ids), ctx))
+    np.testing.assert_allclose(got, tbl[ids], rtol=1e-5)
+
+
+@requires_8_devices
+def test_sharded_lookup_grad_matches(np_rng):
+    """Gradient of the psum lookup = scatter-add of output grads into rows."""
+    mesh = make_mesh(data=2, table=4)
+    v, e, b, k = 32, 8, 8, 4
+    tbl = jnp.asarray(np_rng.normal(size=(v, e)).astype(np.float32))
+    ids = jnp.asarray(np_rng.integers(0, v, size=(b, k)).astype(np.int32))
+    ctx = LookupContext(mesh=mesh)
+
+    def loss_sharded(t):
+        return jnp.sum(sharded_lookup(t, ids, ctx) ** 2)
+
+    def loss_plain(t):
+        return jnp.sum(t[ids] ** 2)
+
+    g1 = np.asarray(jax.grad(loss_sharded)(tbl))
+    g2 = np.asarray(jax.grad(loss_plain)(tbl))
+    np.testing.assert_allclose(g1, g2, rtol=1e-4, atol=1e-5)
+
+
+@requires_8_devices
+def test_sharded_train_step_matches_single_device():
+    """Same data, same seed: 1-device step vs 8-device sharded step must
+    produce numerically close losses over several steps."""
+    from torecsys_tpu.data import make_synthetic_ctr
+    from torecsys_tpu.inputs import Inputs, MultiIndicesEmbedding, ValueInput
+    from torecsys_tpu.train import Pipeline, Trainer
+
+    field_sizes = (64, 32)
+    data = make_synthetic_ctr(num_rows=2048, field_sizes=field_sizes, num_dense=2)
+
+    def build_pipeline():
+        inputs = Inputs(schema={
+            "feat_inputs": ValueInput(fields=("dense_0", "dense_1")),
+            "emb_inputs": MultiIndicesEmbedding(
+                embed_size=8, field_sizes=field_sizes, fields=("cat_0", "cat_1")
+            ),
+        })
+        return (Pipeline().set_objective("ctr").set_inputs(inputs)
+                .set_model("FM").set_criterion("BCEWithLogitsLoss")
+                .set_optimizer("sgd", lr=0.1).set_target_fields("label"))
+
+    def loader():
+        for s in range(0, 2048, 256):
+            yield {k: v[s:s + 256] for k, v in data.items()}
+
+    tr1 = Trainer(build_pipeline(), mesh=None, seed=0, log_every=10_000)
+    m1 = tr1.fit(loader, max_epochs=1)
+
+    mesh = make_mesh(data=2, table=4)
+    tr2 = Trainer(build_pipeline(), mesh=mesh, seed=0, log_every=10_000)
+    m2 = tr2.fit(loader, max_epochs=1)
+
+    np.testing.assert_allclose(m1["train_loss"], m2["train_loss"], rtol=1e-3)
+
+    # params match too
+    f1 = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(
+        jax.device_get(tr1.state.params))])
+    f2 = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(
+        jax.device_get(tr2.state.params))])
+    np.testing.assert_allclose(f1, f2, rtol=1e-3, atol=1e-5)
+
+
+@requires_8_devices
+def test_shard_params_places_tables():
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(data=2, table=4)
+    params = {
+        "inputs": {"embedding": jnp.zeros((64, 8))},
+        "model": {"dense": {"kernel": jnp.zeros((8, 4))}},
+    }
+    placed = shard_params(params, mesh)
+    emb_spec = placed["inputs"]["embedding"].sharding.spec
+    assert tuple(emb_spec) == ("table", None)
+    dense_spec = placed["model"]["dense"]["kernel"].sharding.spec
+    assert tuple(dense_spec) in ((), (None,), (None, None))

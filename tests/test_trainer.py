@@ -1,0 +1,135 @@
+"""End-to-end trainer tests: convergence on synthetic CTR data, LTR/emb
+objectives, checkpoint/resume, pipeline build from config (the reference's one
+integration test ``tests/test_trainer.py:16-101`` plus what SURVEY.md §4 adds)."""
+
+import numpy as np
+import pytest
+
+from torecsys_tpu.data import make_synthetic_ctr
+from torecsys_tpu.inputs import Inputs, MultiIndicesEmbedding, ValueInput
+from torecsys_tpu.train import (
+    Pipeline,
+    Trainer,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+FIELD_SIZES = (100, 50, 20)
+CAT = ("cat_0", "cat_1", "cat_2")
+DENSE = ("dense_0", "dense_1")
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_synthetic_ctr(num_rows=20000, field_sizes=FIELD_SIZES, num_dense=2)
+
+
+def make_inputs(embed_size=8):
+    return Inputs(schema={
+        "feat_inputs": ValueInput(fields=DENSE),
+        "emb_inputs": MultiIndicesEmbedding(
+            embed_size=embed_size, field_sizes=FIELD_SIZES, fields=CAT
+        ),
+    })
+
+
+def loader(data, lo, hi, bs=512):
+    def gen():
+        for s in range(lo, hi - bs + 1, bs):
+            yield {k: v[s:s + bs] for k, v in data.items()}
+    return gen
+
+
+def test_ctr_convergence_beats_random(data):
+    p = (Pipeline().set_objective("ctr").set_inputs(make_inputs())
+         .set_model("FM").set_criterion("BCEWithLogitsLoss")
+         .set_optimizer("Adam", lr=0.01).set_target_fields("label"))
+    tr = Trainer(p, log_every=10_000)
+    m = tr.fit(loader(data, 0, 18000), val_loader=loader(data, 18000, 20000),
+               max_epochs=3)
+    assert m["val_auc"] > 0.6, m
+
+
+def test_regularizer_changes_training(data):
+    p = (Pipeline().set_objective("ctr").set_inputs(make_inputs())
+         .set_model("FM").set_criterion("BCEWithLogitsLoss")
+         .set_optimizer("Adam", lr=0.01).set_target_fields("label")
+         .set_regularizer(weight_decay=0.1))
+    tr = Trainer(p, log_every=10_000)
+    m = tr.fit(loader(data, 0, 4096), max_epochs=1)
+    assert np.isfinite(m["train_loss"])
+
+
+def test_checkpoint_roundtrip(data, tmp_path):
+    p = (Pipeline().set_objective("ctr").set_inputs(make_inputs())
+         .set_model("FM").set_optimizer("Adam", lr=0.01).set_target_fields("label"))
+    tr = Trainer(p, log_every=10_000)
+    tr.fit(loader(data, 0, 2048), max_epochs=1)
+    path = str(tmp_path / "ckpt.msgpack")
+    save_checkpoint(path, tr.state)
+
+    p2 = (Pipeline().set_objective("ctr").set_inputs(make_inputs())
+          .set_model("FM").set_optimizer("Adam", lr=0.01).set_target_fields("label"))
+    tr2 = Trainer(p2, log_every=10_000)
+    tr2.init_state(next(loader(data, 0, 2048)()))
+    restored = restore_checkpoint(path, tr2.state)
+    assert int(restored.step) == int(tr.state.step)
+    a = np.asarray(tr.state.params["model"]["fm"] if "fm" in str(tr.state.params) else 0)
+    flat1 = np.concatenate([np.ravel(x) for x in
+                            __import__("jax").tree_util.tree_leaves(tr.state.params)])
+    flat2 = np.concatenate([np.ravel(x) for x in
+                            __import__("jax").tree_util.tree_leaves(restored.params)])
+    np.testing.assert_allclose(flat1, flat2, rtol=1e-6)
+
+
+def test_ltr_objective_trains(data):
+    """BPR over in-batch mined negatives on an MF model (BASELINE config 5)."""
+    inputs = Inputs(schema={
+        "emb_inputs": MultiIndicesEmbedding(
+            embed_size=8, field_sizes=FIELD_SIZES[:2], fields=CAT[:2]
+        ),
+    })
+    p = (Pipeline().set_objective("ltr").set_inputs(inputs)
+         .set_model("MF")
+         .set_criterion("BayesianPersonalizedRankingLoss")
+         .set_miner("UniformBatchMiner", num_negs=2)
+         .set_miner_target_field("cat_1")
+         .set_optimizer("Adam", lr=0.01).set_target_fields("label"))
+    tr = Trainer(p, log_every=10_000)
+    m = tr.fit(loader(data, 0, 4096), max_epochs=2)
+    assert np.isfinite(m["train_loss"])
+
+
+def test_pipeline_build_from_config(data):
+    p = Pipeline.build(
+        objective="ctr",
+        inputs_config=make_inputs(),
+        model_config={"method": "DeepFM", "deep_layer_sizes": [16, 16]},
+        criterion_config={"method": "BCEWithLogitsLoss"},
+        optimizer_config={"method": "AdamW", "lr": 1e-3},
+        regularizer_config={"weight_decay": 0.001},
+        target_fields="label",
+    )
+    tr = Trainer(p, log_every=10_000)
+    m = tr.fit(loader(data, 0, 2048), max_epochs=1)
+    assert np.isfinite(m["train_loss"])
+    assert "DeepF" in p.summary()
+
+
+def test_pipeline_incomplete_raises():
+    with pytest.raises(ValueError):
+        Pipeline().finalize()
+    with pytest.raises(ValueError):
+        (Pipeline().set_objective("ltr").set_inputs(make_inputs())
+         .set_model("MF").finalize())  # missing miner_target_field
+
+
+def test_predict(data):
+    p = (Pipeline().set_objective("ctr").set_inputs(make_inputs())
+         .set_model("FM").set_optimizer("Adam", lr=0.01).set_target_fields("label"))
+    tr = Trainer(p, log_every=10_000)
+    tr.fit(loader(data, 0, 2048), max_epochs=1)
+    batch = next(loader(data, 0, 512)())
+    preds = tr.predict(batch)
+    assert preds.shape == (512, 1)
+    assert float(preds.min()) >= 0.0 and float(preds.max()) <= 1.0

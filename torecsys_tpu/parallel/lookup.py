@@ -1,0 +1,129 @@
+"""Sharded embedding lookup.
+
+The north-star distributed component (SURVEY.md §2.11 / §7 hard part #1):
+embedding tables row-sharded over the ``table`` mesh axis, batches sharded
+over ``data``, lookup = a ``shard_map`` collective in which every table shard
+contributes the rows it owns and the results are summed over ``table``.
+
+Why contribute-and-psum (vs explicit all-to-all of unique ids): it is a single
+dense collective XLA can overlap with compute, it is differentiable for free
+(the transpose is the scatter-add of gradients into the owning shard), and for
+recsys embedding dims (E ≤ 64) the psum payload ``(B/dp, K, E)`` rides ICI
+well under the v5e bandwidth budget. An explicit unique-id all-to-all path is
+the planned optimization behind the same signature.
+
+Activation: input modules call :func:`maybe_sharded_lookup`; inside a
+``with use_sharded_lookup(mesh):`` block (entered before jit-tracing the train
+step) lookups route through :func:`sharded_lookup`, otherwise they compile to
+one plain XLA gather.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import threading
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from torecsys_tpu.parallel.mesh import DATA_AXIS, TABLE_AXIS
+
+
+@dataclasses.dataclass(frozen=True)
+class LookupContext:
+    """Configuration for sharded lookups (mesh + axis names + strategy)."""
+
+    mesh: jax.sharding.Mesh
+    data_axis: str = DATA_AXIS
+    table_axis: str = TABLE_AXIS
+    # Tables smaller than this many rows are not worth sharding: the psum
+    # traffic would exceed just replicating them.
+    min_rows_to_shard: int = 0
+
+
+_state = threading.local()
+
+
+def _context() -> Optional[LookupContext]:
+    return getattr(_state, "ctx", None)
+
+
+@contextlib.contextmanager
+def use_sharded_lookup(mesh: jax.sharding.Mesh, **kwargs):
+    """Route all embedding lookups traced inside this block through the
+    sharded path. Enter this context *around jit tracing* of the train step —
+    the choice is baked into the compiled program."""
+    prev = _context()
+    _state.ctx = LookupContext(mesh=mesh, **kwargs)
+    try:
+        yield _state.ctx
+    finally:
+        _state.ctx = prev
+
+
+def maybe_sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """``table[ids]`` — sharded when a :func:`use_sharded_lookup` context is
+    active and the table axis exists in the mesh, plain gather otherwise.
+
+    Args:
+        table: ``(V, E)``.
+        ids: integer array ``(B, ...)`` of already-offset row ids.
+
+    Returns:
+        ``(B, ..., E)``.
+    """
+    ctx = _context()
+    if ctx is None:
+        return jnp.take(table, ids, axis=0)
+    if ctx.table_axis not in ctx.mesh.axis_names:
+        return jnp.take(table, ids, axis=0)
+    if ctx.mesh.shape[ctx.table_axis] == 1 and ctx.mesh.shape.get(ctx.data_axis, 1) == 1:
+        return jnp.take(table, ids, axis=0)
+    if table.shape[0] < ctx.min_rows_to_shard:
+        return jnp.take(table, ids, axis=0)
+    return sharded_lookup(table, ids, ctx)
+
+
+def sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray, ctx: LookupContext) -> jnp.ndarray:
+    """Row-sharded lookup via shard_map contribute-and-psum.
+
+    Args:
+        table: ``(V, E)`` global view; sharded ``P(table_axis, None)``.
+        ids: ``(B, K)`` (or any ``(B, ...)``) global row ids; sharded
+            ``P(data_axis, None)``.
+        ctx: active :class:`LookupContext`.
+
+    Returns:
+        ``(B, ..., E)`` sharded ``P(data_axis, ...)``.
+    """
+    mesh = ctx.mesh
+    ts = mesh.shape[ctx.table_axis]
+
+    orig_shape = ids.shape
+    b = orig_shape[0]
+    flat_ids = ids.reshape(b, -1)
+
+    v = table.shape[0]
+    pad = (-v) % ts
+    if pad:
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+
+    def _local(table_shard: jnp.ndarray, ids_local: jnp.ndarray) -> jnp.ndarray:
+        shard_rows = table_shard.shape[0]
+        lo = jax.lax.axis_index(ctx.table_axis) * shard_rows
+        local = ids_local - lo
+        ok = (local >= 0) & (local < shard_rows)
+        rows = jnp.take(table_shard, jnp.where(ok, local, 0), axis=0)
+        rows = jnp.where(ok[..., None], rows, jnp.zeros((), dtype=rows.dtype))
+        return jax.lax.psum(rows, ctx.table_axis)
+
+    out = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(ctx.table_axis, None), P(ctx.data_axis, None)),
+        out_specs=P(ctx.data_axis, None, None),
+    )(table, flat_ids)
+    return out.reshape(*orig_shape, table.shape[1])

@@ -1,0 +1,59 @@
+"""Checkpoint / resume: save and restore the full train state.
+
+The reference plans but never implements checkpointing (``build`` accepts a
+``load_from`` config whose ``trainer.load`` target does not exist —
+``torecsys_pipeline.py:897-898``, SURVEY.md §5.4).  Here it is real: the whole
+:class:`TrainState` (params, batch_stats, optimizer state, step, rng) is
+serialised with flax msgpack.  Sharded arrays are gathered to host on save and
+re-placed by the caller's sharding rules on restore (re-placement happens
+naturally when the restored state enters the jitted step).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import flax.serialization
+import jax
+
+from torecsys_tpu.train.state import TrainState
+
+
+def save_checkpoint(path: str, state: TrainState) -> str:
+    """Serialise ``state`` to ``path`` (msgpack).  Returns the path."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host_state = jax.device_get(state)
+    data = flax.serialization.to_bytes(host_state)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+    return path
+
+
+def restore_checkpoint(path: str, template: TrainState) -> TrainState:
+    """Restore a state saved by :func:`save_checkpoint`.
+
+    ``template`` supplies the pytree structure (build it exactly as for a
+    fresh run — same model / optimizer — then restore over it).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    return flax.serialization.from_bytes(template, data)
+
+
+def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> Optional[str]:
+    """Path of the newest ``{prefix}{step}.msgpack`` in ``directory``."""
+    if not os.path.isdir(directory):
+        return None
+    best, best_step = None, -1
+    for name in os.listdir(directory):
+        if name.startswith(prefix) and name.endswith(".msgpack"):
+            try:
+                step = int(name[len(prefix):].split(".")[0])
+            except ValueError:
+                continue
+            if step > best_step:
+                best, best_step = os.path.join(directory, name), step
+    return best

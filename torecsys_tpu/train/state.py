@@ -1,0 +1,60 @@
+"""Train state: the one pytree the jitted step consumes and donates.
+
+Holds params, mutable collections (batch_stats), optimizer state, the step
+counter, the base PRNG key (per-step keys are folded in from the step counter,
+so state stays reproducible and checkpoint-resumable), and in-device metric
+accumulators (``loss_sum`` / ``loss_count``).
+
+The accumulators live in the state on purpose: every per-step host-side jnp op
+is a separate dispatch, and on a tunneled/remote TPU runtime that round-trip
+dominates the step (measured ~75 ms vs ~0.3 ms for the fused step itself).
+Keeping accumulation inside the donated state makes the training loop a pure
+dispatch loop — the host only reads metrics at log/epoch boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+    loss_sum: jnp.ndarray
+    loss_count: jnp.ndarray
+
+    @classmethod
+    def create(cls, variables: Dict[str, Any], tx, rng: jax.Array) -> "TrainState":
+        params = variables["params"]
+        return cls(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            step=jnp.zeros((), dtype=jnp.int32),
+            rng=rng,
+            loss_sum=jnp.zeros((), dtype=jnp.float32),
+            loss_count=jnp.zeros((), dtype=jnp.float32),
+        )
+
+    def variables(self) -> Dict[str, Any]:
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+    def mean_loss(self) -> jnp.ndarray:
+        return self.loss_sum / jnp.maximum(self.loss_count, 1.0)
+
+    def reset_metrics(self) -> "TrainState":
+        return self.replace(
+            loss_sum=jnp.zeros((), dtype=jnp.float32),
+            loss_count=jnp.zeros((), dtype=jnp.float32),
+        )

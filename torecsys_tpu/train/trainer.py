@@ -1,0 +1,230 @@
+"""Trainer: the fit/evaluate loop around the jitted steps.
+
+Parity: ``TorecsysTrainer`` (``/root/reference/torecsys/trainer/torecsys_trainer.py:6-16``)
++ the Lightning loop it delegated to, re-built TPU-native:
+
+* validation of pipeline completeness at fit start
+  (``trainer/callbacks/model_validation.py:15``) via ``Pipeline.finalize``;
+* ONE jitted, state-donating train step (fwd + loss + reg + grad + update);
+* optional ``jax.sharding.Mesh``: params placed per
+  ``torecsys_tpu.parallel.sharding`` rules, batches sharded over ``data``,
+  embedding lookups routed through the shard_map path — the same step code
+  runs 1-chip or N-chip;
+* streaming AUC / logloss evaluation, per-epoch checkpointing, stdout logging
+  (+ ``jax.profiler`` trace hook).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torecsys_tpu.metrics import StreamingAUC, StreamingLogLoss
+from torecsys_tpu.parallel.lookup import use_sharded_lookup
+from torecsys_tpu.parallel.sharding import shard_batch, shard_params
+from torecsys_tpu.train.checkpoint import save_checkpoint
+from torecsys_tpu.train.pipeline import Pipeline
+from torecsys_tpu.train.state import TrainState
+from torecsys_tpu.train.steps import (
+    make_eval_metrics_step,
+    make_eval_step,
+    make_train_step,
+)
+
+logger = logging.getLogger(__name__)
+
+
+class Trainer:
+    """Fits a :class:`Pipeline` on host-side batch iterables.
+
+    Args:
+        pipeline: a configured pipeline (``finalize`` is called here).
+        mesh: optional device mesh; None = single device.
+        checkpoint_dir: where per-epoch checkpoints go (None = no ckpts).
+        log_every: training-loss log cadence in steps.
+        profile_dir: when set, a ``jax.profiler`` trace of a few steps of the
+            first epoch is written there.
+    """
+
+    def __init__(
+        self,
+        pipeline: Pipeline,
+        mesh: Optional[jax.sharding.Mesh] = None,
+        checkpoint_dir: Optional[str] = None,
+        log_every: int = 100,
+        seed: int = 0,
+        profile_dir: Optional[str] = None,
+    ):
+        self.pipeline = pipeline.finalize()
+        self.mesh = mesh
+        self.checkpoint_dir = checkpoint_dir
+        self.log_every = log_every
+        self.seed = seed
+        self.profile_dir = profile_dir
+        self.state: Optional[TrainState] = None
+        self.history: list = []
+
+        self._train_step_fn = None
+        self._eval_step_fn = None
+
+    # ---- setup ----------------------------------------------------------
+
+    def _build_steps(self):
+        train_step = make_train_step(self.pipeline)
+        eval_step = make_eval_step(self.pipeline)
+        self._auc = StreamingAUC()
+        self._logloss = StreamingLogLoss()
+        metrics_step = make_eval_metrics_step(self.pipeline, self._auc, self._logloss)
+        self._train_step_fn = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step_fn = jax.jit(eval_step)
+        self._eval_metrics_fn = jax.jit(metrics_step)
+        # computes are jitted too: on a remote TPU runtime every un-jitted op
+        # is a separate compile+round-trip
+        self._auc_compute = jax.jit(self._auc.compute)
+        self._ll_compute = jax.jit(self._logloss.compute)
+        # warm up the device→host transfer channel: on a tunneled TPU runtime
+        # the FIRST D2H in a process costs ~10 s (channel setup); paying it
+        # here keeps epoch-boundary metric fetches off that path
+        jax.device_get(jnp.zeros(()))
+
+    def init_state(self, example_batch: Dict[str, np.ndarray]) -> TrainState:
+        """Initialise parameters from one example batch."""
+        rng = jax.random.PRNGKey(self.seed)
+        init_rng, state_rng = jax.random.split(rng)
+        batch = {k: jnp.asarray(v) for k, v in example_batch.items()
+                 if k != self.pipeline.target_fields}
+        # jit the initializer: uncompiled flax init dispatches hundreds of
+        # tiny ops (seconds of round-trips on a remote TPU runtime); jitted it
+        # is one compile + one execution.
+        init_fn = jax.jit(
+            lambda rngs, b: self.pipeline.sequential.init(rngs, b, training=False)
+        )
+        variables = init_fn({"params": init_rng, "dropout": init_rng}, batch)
+        state = TrainState.create(variables, self.pipeline.optimizer, state_rng)
+        if self.mesh is not None:
+            state = state.replace(params=shard_params(state.params, self.mesh))
+        self.state = state
+        return state
+
+    def _place_batch(self, batch: Dict[str, np.ndarray]):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    # ---- training -------------------------------------------------------
+
+    @staticmethod
+    def _epoch_iter(loader):
+        """Fresh iterator per epoch: zero-arg callables are called, iterables
+        re-iterated (one-shot generators only survive a single epoch)."""
+        return iter(loader() if callable(loader) else loader)
+
+    def fit(
+        self,
+        train_loader: Iterable[Dict[str, np.ndarray]],
+        val_loader: Optional[Iterable[Dict[str, np.ndarray]]] = None,
+        max_epochs: int = 1,
+        max_steps: Optional[int] = None,
+    ) -> Dict[str, float]:
+        """Run the training loop; returns the last epoch's metrics.
+
+        ``train_loader`` / ``val_loader`` may be re-iterable containers
+        (e.g. :class:`torecsys_tpu.data.DataLoader`) or zero-arg callables
+        returning a fresh iterator per epoch.
+        """
+        if self._train_step_fn is None:
+            self._build_steps()
+        logger.info("pipeline:\n%s", self.pipeline.summary())
+
+        metrics: Dict[str, float] = {}
+        step = 0
+        for epoch in range(max_epochs):
+            t0 = time.time()
+            n_examples = 0
+            if self.state is not None:
+                self.state = self.state.reset_metrics()
+            for batch in self._epoch_iter(train_loader):
+                if self.state is None:
+                    self.init_state(batch)
+                placed = self._place_batch(batch)
+                if self.profile_dir and step == 4:
+                    jax.profiler.start_trace(self.profile_dir)
+                # trace under the sharded-lookup context so embedding gathers
+                # compile to the shard_map path when a mesh is present.
+                # The loop body is pure dispatch: losses accumulate inside the
+                # donated state, nothing syncs with the host per step.
+                if self.mesh is not None:
+                    with use_sharded_lookup(self.mesh):
+                        self.state, logs = self._train_step_fn(self.state, placed)
+                else:
+                    self.state, logs = self._train_step_fn(self.state, placed)
+                if self.profile_dir and step == 8:
+                    jax.profiler.stop_trace()
+                n_examples += next(iter(batch.values())).shape[0]
+                step += 1
+                if step % self.log_every == 0:
+                    ls, lc = jax.device_get((self.state.loss_sum, self.state.loss_count))
+                    logger.info(
+                        "epoch %d step %d loss %.5f", epoch, step, ls / max(lc, 1.0)
+                    )
+                if max_steps is not None and step >= max_steps:
+                    break
+            ls, lc = jax.device_get((self.state.loss_sum, self.state.loss_count))
+            elapsed = max(time.time() - t0, 1e-9)
+            metrics = {
+                "epoch": epoch,
+                "train_loss": float(ls) / max(float(lc), 1.0),
+                "examples_per_sec": n_examples / elapsed,
+            }
+            if val_loader is not None:
+                metrics.update(self.evaluate(val_loader))
+            logger.info("epoch %d done: %s", epoch, metrics)
+            self.history.append(metrics)
+            if self.checkpoint_dir:
+                path = os.path.join(
+                    self.checkpoint_dir, f"ckpt_{int(self.state.step)}.msgpack"
+                )
+                save_checkpoint(path, self.state)
+            if max_steps is not None and step >= max_steps:
+                break
+        return metrics
+
+    # ---- evaluation -----------------------------------------------------
+
+    def evaluate(self, loader: Iterable[Dict[str, np.ndarray]]) -> Dict[str, float]:
+        """Streaming AUC + logloss over a validation loader."""
+        if self._eval_step_fn is None:
+            self._build_steps()
+        if self.state is None:
+            raise RuntimeError("call fit() or init_state() before evaluate()")
+        auc_state, ll_state = self._auc.init(), self._logloss.init()
+        for batch in self._epoch_iter(loader):
+            placed = self._place_batch(batch)
+            if self.pipeline.target_fields not in batch:
+                continue
+            if self.mesh is not None:
+                with use_sharded_lookup(self.mesh):
+                    auc_state, ll_state = self._eval_metrics_fn(
+                        self.state, placed, auc_state, ll_state
+                    )
+            else:
+                auc_state, ll_state = self._eval_metrics_fn(
+                    self.state, placed, auc_state, ll_state
+                )
+        return {
+            "val_auc": float(self._auc_compute(auc_state)),
+            "val_logloss": float(self._ll_compute(ll_state)),
+        }
+
+    def predict(self, batch: Dict[str, np.ndarray]):
+        """Score one batch (reference ``TorecsysPipeline.forward:671-685``)."""
+        if self._eval_step_fn is None:
+            self._build_steps()
+        preds, _ = self._eval_step_fn(self.state, self._place_batch(batch))
+        return preds
