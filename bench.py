@@ -7,11 +7,21 @@ Prints ONE JSON line:
 Protocol (BASELINE.md): the reference publishes no numbers, so baselines are
 self-generated.  ``vs_baseline`` compares against the first recorded value in
 ``BENCH_BASELINE.json`` (written on first run) so later rounds show relative
-progress; 1.0 on the first run.
+progress.
 
 The workload is the Criteo-shaped synthetic CTR task: 26 categorical fields
 (Zipf ids, ~0.5M fused rows) + 13 dense, DeepFM with a (400, 400, 400) tower,
-batch 4096, one full jitted train step per iteration.
+batch 4096, full train steps (fwd + loss + grad + Adam update).
+
+Measurement rules (learned the hard way on the tunneled TPU runtime):
+  * a device_get is issued BEFORE timing — on this runtime the first
+    device->host transfer flips dispatch from fire-and-forget (which makes
+    un-drained timings meaningless) to synchronous acknowledgment;
+  * batches are device-resident and STACKED, and the step loop runs inside a
+    jitted ``lax.scan`` (``steps_per_execution``), so the measurement is
+    device compute, not per-dispatch tunnel latency;
+  * the clock stops only after a device->host fetch of the final loss — the
+    full pipeline is drained.
 """
 
 from __future__ import annotations
@@ -23,8 +33,9 @@ import time
 import numpy as np
 
 BATCH = 4096
-STEPS = 30
-WARMUP = 5
+SCAN_STEPS = 8       # micro-batches per device dispatch (lax.scan)
+REPS = 12            # timed dispatches -> REPS*SCAN_STEPS steps total
+WARMUP_REPS = 3
 EMBED = 16
 # Criteo-shaped: 26 categorical fields with a long-tailed size distribution
 FIELD_SIZES = tuple(
@@ -36,7 +47,7 @@ FIELD_SIZES = tuple(
 NUM_DENSE = 13
 
 
-def make_batches(seed: int = 0, n_batches: int = 8):
+def make_batches(seed: int = 0, n_batches: int = SCAN_STEPS):
     rng = np.random.default_rng(seed)
     batches = []
     for _ in range(n_batches):
@@ -53,9 +64,11 @@ def make_batches(seed: int = 0, n_batches: int = 8):
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from torecsys_tpu.inputs import Inputs, MultiIndicesEmbedding, ValueInput
     from torecsys_tpu.train import Pipeline, Trainer
+    from torecsys_tpu.train.steps import make_train_scan, make_train_step
 
     cat = tuple(f"cat_{i}" for i in range(len(FIELD_SIZES)))
     dense = tuple(f"dense_{j}" for j in range(NUM_DENSE))
@@ -77,22 +90,32 @@ def main():
     trainer = Trainer(pipeline, log_every=1_000_000)
     batches = make_batches()
 
-    trainer.init_state(batches[0])
-    trainer._build_steps()
-    # warmup (compile + stabilize)
-    for i in range(WARMUP):
-        trainer.state, _ = trainer._train_step_fn(trainer.state, batches[i % len(batches)])
-    jax.block_until_ready(trainer.state.params)
+    state = trainer.init_state(batches[0])
+    scan_fn = jax.jit(
+        make_train_scan(make_train_step(trainer.pipeline)), donate_argnums=(0,)
+    )
+
+    # stack the micro-batches on device: dict of (K, B, ...) arrays
+    stacked = {
+        k: jax.device_put(np.stack([b[k] for b in batches])) for k in batches[0]
+    }
+    jax.block_until_ready(stacked)
+    # force synchronous-acknowledgment dispatch mode BEFORE timing
+    jax.device_get(jnp.zeros(()))
+
+    for _ in range(WARMUP_REPS):  # compile + stabilize
+        state, logs = scan_fn(state, stacked)
+    jax.block_until_ready(state.params)
 
     t0 = time.perf_counter()
-    for i in range(STEPS):
-        trainer.state, logs = trainer._train_step_fn(
-            trainer.state, batches[i % len(batches)]
-        )
-    jax.block_until_ready(trainer.state.params)
+    for _ in range(REPS):
+        state, logs = scan_fn(state, stacked)
+    final_loss = float(np.asarray(logs["loss"]))  # drains the pipeline
     elapsed = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
 
-    examples_per_sec = BATCH * STEPS / elapsed
+    n_steps = REPS * SCAN_STEPS
+    examples_per_sec = BATCH * n_steps / elapsed
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     if os.path.exists(baseline_path):

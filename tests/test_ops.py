@@ -122,3 +122,59 @@ def test_field_offsets_and_fused_lookup(np_rng):
         np.stack([table[3], table[4 + 0], table[7 + 4]]),
     ])
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+# ---- packed embedding layout (TPU lane-width packing) ----------------------
+
+from torecsys_tpu.ops.embedding import (  # noqa: E402
+    pack_factor,
+    pack_table,
+    packed_lookup,
+    packed_shape,
+    unpack_table,
+)
+
+
+def test_pack_factor():
+    assert pack_factor(16) == 8
+    assert pack_factor(64) == 2
+    assert pack_factor(128) == 1
+    assert pack_factor(256) == 1
+    assert pack_factor(1) == 128
+    assert pack_factor(48) == 2  # power of two only
+
+
+def test_packed_shape_and_roundtrip(np_rng):
+    v, e = 37, 16
+    tbl = jnp.asarray(np_rng.normal(size=(v, e)).astype(np.float32))
+    packed = pack_table(tbl)
+    assert packed.shape == packed_shape(v, e)
+    back = unpack_table(packed, e, v)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(tbl))
+
+
+def test_packed_lookup_matches_plain(np_rng):
+    v, e, m = 100, 16, 64
+    tbl = np_rng.normal(size=(v, e)).astype(np.float32)
+    ids = np_rng.integers(0, v, size=(8, 8)).astype(np.int32)
+    got = np.asarray(packed_lookup(pack_table(jnp.asarray(tbl)), jnp.asarray(ids), e))
+    np.testing.assert_allclose(got, tbl[ids], rtol=1e-6)
+
+
+def test_packed_lookup_grad_is_scatter_add(np_rng):
+    """d/d(table) of sum(w * lookup) == scatter-add of w rows (through the
+    packed layout and back)."""
+    v, e = 24, 4
+    tbl = jnp.asarray(np_rng.normal(size=(v, e)).astype(np.float32))
+    packed = pack_table(tbl)
+    ids = jnp.asarray(np.array([[0, 1, 1, 23], [5, 5, 5, 0]], dtype=np.int32))
+    w = jnp.asarray(np_rng.normal(size=(*ids.shape, e)).astype(np.float32))
+
+    def f(p):
+        return jnp.sum(w * packed_lookup(p, ids, e))
+
+    g = jax.grad(f)(packed)
+    g_logical = np.asarray(unpack_table(g, e, v))
+    want = np.zeros((v, e), np.float32)
+    np.add.at(want, np.asarray(ids).reshape(-1), np.asarray(w).reshape(-1, e))
+    np.testing.assert_allclose(g_logical, want, rtol=1e-5, atol=1e-6)

@@ -129,3 +129,42 @@ def test_shard_params_places_tables():
     assert tuple(emb_spec) == ("table", None)
     dense_spec = placed["model"]["dense"]["kernel"].sharding.spec
     assert tuple(dense_spec) in ((), (None,), (None, None))
+
+
+@requires_8_devices
+@pytest.mark.parametrize("data,table", [(4, 2), (2, 4), (1, 8)])
+def test_sharded_packed_lookup_matches_plain(data, table, np_rng):
+    from torecsys_tpu.ops.embedding import pack_table
+    from torecsys_tpu.parallel import sharded_packed_lookup
+
+    mesh = make_mesh(data=data, table=table)
+    v, e, b, k = 100, 16, 16, 5
+    tbl = np_rng.normal(size=(v, e)).astype(np.float32)
+    ids = np_rng.integers(0, v, size=(b, k)).astype(np.int32)
+    ctx = LookupContext(mesh=mesh)
+    got = np.asarray(
+        sharded_packed_lookup(pack_table(jnp.asarray(tbl)), jnp.asarray(ids), e, ctx)
+    )
+    np.testing.assert_allclose(got, tbl[ids], rtol=1e-5)
+
+
+@requires_8_devices
+def test_sharded_packed_lookup_grad(np_rng):
+    from torecsys_tpu.ops.embedding import pack_table, unpack_table
+    from torecsys_tpu.parallel import sharded_packed_lookup
+
+    mesh = make_mesh(data=2, table=4)
+    v, e = 40, 8
+    tbl = jnp.asarray(np_rng.normal(size=(v, e)).astype(np.float32))
+    packed = pack_table(tbl)
+    ids = jnp.asarray(np_rng.integers(0, v, size=(8, 3)).astype(np.int32))
+    w = jnp.asarray(np_rng.normal(size=(8, 3, e)).astype(np.float32))
+    ctx = LookupContext(mesh=mesh)
+
+    def f(p):
+        return jnp.sum(w * sharded_packed_lookup(p, ids, e, ctx))
+
+    g = np.asarray(unpack_table(jax.grad(f)(packed), e, v))
+    want = np.zeros((v, e), np.float32)
+    np.add.at(want, np.asarray(ids).reshape(-1), np.asarray(w).reshape(-1, e))
+    np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-6)

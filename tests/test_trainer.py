@@ -133,3 +133,41 @@ def test_predict(data):
     preds = tr.predict(batch)
     assert preds.shape == (512, 1)
     assert float(preds.min()) >= 0.0 and float(preds.max()) <= 1.0
+
+
+def test_trainer_steps_per_execution(np_rng):
+    """Scanned multi-step dispatch trains identically-shaped state and makes
+    progress; remainder batches (< steps_per_execution) are handled."""
+    from torecsys_tpu.inputs import Inputs, MultiIndicesEmbedding, ValueInput
+    from torecsys_tpu.train import Pipeline, Trainer
+
+    def make_batches(n):
+        out = []
+        for _ in range(n):
+            out.append({
+                "c": np_rng.integers(0, 10, size=(16,)).astype(np.int32),
+                "d": np_rng.normal(size=(16,)).astype(np.float32),
+                "label": (np_rng.uniform(size=(16,)) < 0.5).astype(np.float32),
+            })
+        return out
+
+    inputs = Inputs(schema={
+        "feat_inputs": ValueInput(fields=("d",)),
+        "emb_inputs": MultiIndicesEmbedding(
+            embed_size=4, field_sizes=(10,), fields=("c",)
+        ),
+    })
+    pipeline = (
+        Pipeline()
+        .set_objective("ctr")
+        .set_inputs(inputs)
+        .set_model("FM")
+        .set_criterion("BCEWithLogitsLoss")
+        .set_optimizer("Adam", lr=1e-2)
+        .set_target_fields("label")
+    )
+    batches = make_batches(7)  # 7 = 2 full scans of 3 + remainder of 1
+    trainer = Trainer(pipeline, log_every=1000, steps_per_execution=3)
+    metrics = trainer.fit(lambda: iter(batches), max_epochs=2)
+    assert np.isfinite(metrics["train_loss"])
+    assert int(trainer.state.step) == 14  # all 7 batches, both epochs

@@ -28,12 +28,26 @@ import jax.numpy as jnp
 import numpy as np
 
 from torecsys_tpu.inputs.base import BaseInput, Batch
-from torecsys_tpu.ops.embedding import field_offsets
-from torecsys_tpu.parallel.lookup import maybe_sharded_lookup
+from torecsys_tpu.ops.embedding import field_offsets, pack_factor, packed_shape
+from torecsys_tpu.parallel.lookup import (
+    maybe_sharded_lookup,
+    maybe_sharded_packed_lookup,
+)
 
 
 def _xavier_uniform():
     return nn.initializers.xavier_uniform()
+
+
+def _xavier_uniform_logical(total_rows: int, embed_size: int):
+    """Xavier-uniform with the *logical* ``(V, E)`` fan, applied to a packed
+    ``(V/P, P*E)`` stored shape (packing must not change the init scale)."""
+    limit = float(np.sqrt(6.0 / (total_rows + embed_size)))
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-limit, maxval=limit)
+
+    return init
 
 
 class ValueInput(BaseInput):
@@ -111,10 +125,13 @@ class MultiIndicesEmbedding(BaseInput):
                 f"({len(self.field_sizes)}) must align"
             )
         total = int(sum(self.field_sizes))
+        # Stored packed: P logical rows per 128-lane stored row (see
+        # torecsys_tpu.ops.embedding.pack_factor — 2.6x faster gathers and
+        # 4.2x faster scatter-add gradients on TPU for E=16).
         self.table = self.param(
             "embedding",
             nn.initializers.normal(stddev=self.init_std),
-            (total, self.embed_size),
+            packed_shape(total, self.embed_size),
         )
         self.offsets = field_offsets(self.field_sizes)
 
@@ -129,7 +146,7 @@ class MultiIndicesEmbedding(BaseInput):
     def embed(self, ids: jnp.ndarray) -> jnp.ndarray:
         """Direct tensor-level lookup of raw per-field ids ``(B, N) → (B, N, E)``."""
         shifted = ids + jnp.asarray(self.offsets, dtype=ids.dtype)[None, :]
-        return maybe_sharded_lookup(self.table, shifted)
+        return maybe_sharded_packed_lookup(self.table, shifted, self.embed_size)
 
 
 class MultiIndicesFieldAwareEmbedding(BaseInput):
@@ -154,7 +171,9 @@ class MultiIndicesFieldAwareEmbedding(BaseInput):
         n = len(self.field_sizes)
         total = int(sum(self.field_sizes))
         self.tables = self.param(
-            "embedding", _xavier_uniform(), (n, total, self.embed_size)
+            "embedding",
+            _xavier_uniform_logical(total, self.embed_size),
+            (n, *packed_shape(total, self.embed_size)),
         )
         self.offsets = field_offsets(self.field_sizes)
 
@@ -162,8 +181,10 @@ class MultiIndicesFieldAwareEmbedding(BaseInput):
         ids = self._stack_fields(batch, self.fields)  # (B, N)
         n = len(self.field_sizes)
         shifted = ids + jnp.asarray(self.offsets, dtype=ids.dtype)[None, :]
-        # vmap the lookup over the N tables: (N, V, E) x (B, N) -> (N, B, N, E)
-        per_table = jax.vmap(lambda t: maybe_sharded_lookup(t, shifted))(self.tables)
+        # vmap the lookup over the N tables: (N, Vp, P*E) x (B, N) -> (N, B, N, E)
+        per_table = jax.vmap(
+            lambda t: maybe_sharded_packed_lookup(t, shifted, self.embed_size)
+        )(self.tables)
         out = jnp.transpose(per_table, (1, 0, 2, 3))  # (B, Ntab, Nfield, E)
         b = out.shape[0]
         out = out.reshape(b, n * n, self.embed_size)

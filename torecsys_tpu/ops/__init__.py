@@ -21,7 +21,15 @@ from torecsys_tpu.ops.interactions import (
     inner_product_pairs,
     outer_product_pairs,
 )
-from torecsys_tpu.ops.embedding import embedding_lookup, fused_offset_lookup
+from torecsys_tpu.ops.embedding import (
+    embedding_lookup,
+    fused_offset_lookup,
+    pack_factor,
+    pack_table,
+    packed_lookup,
+    packed_shape,
+    unpack_table,
+)
 
 __all__ = [
     "afm_pairwise_products",
@@ -33,4 +41,9 @@ __all__ = [
     "fused_offset_lookup",
     "inner_product_pairs",
     "outer_product_pairs",
+    "pack_factor",
+    "pack_table",
+    "packed_lookup",
+    "packed_shape",
+    "unpack_table",
 ]

@@ -21,7 +21,9 @@ from torecsys_tpu.parallel.mesh import (
 from torecsys_tpu.parallel.lookup import (
     LookupContext,
     maybe_sharded_lookup,
+    maybe_sharded_packed_lookup,
     sharded_lookup,
+    sharded_packed_lookup,
     use_sharded_lookup,
 )
 from torecsys_tpu.parallel.sharding import (
@@ -39,8 +41,10 @@ __all__ = [
     "infer_param_sharding",
     "make_mesh",
     "maybe_sharded_lookup",
+    "maybe_sharded_packed_lookup",
     "shard_batch",
     "shard_params",
     "sharded_lookup",
+    "sharded_packed_lookup",
     "use_sharded_lookup",
 ]

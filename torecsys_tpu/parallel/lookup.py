@@ -87,6 +87,86 @@ def maybe_sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
     return sharded_lookup(table, ids, ctx)
 
 
+def maybe_sharded_packed_lookup(
+    packed_table: jnp.ndarray, ids: jnp.ndarray, embed_size: int
+) -> jnp.ndarray:
+    """Packed-layout ``logical_table[ids]`` — sharded when a
+    :func:`use_sharded_lookup` context is active, plain otherwise.
+
+    Args:
+        packed_table: ``(ceil(V/P), P*E)``
+            (``torecsys_tpu.ops.embedding.pack_table`` layout).
+        ids: integer ``(B, ...)`` of already-offset logical row ids.
+        embed_size: E.
+
+    Returns:
+        ``(B, ..., E)``.
+    """
+    from torecsys_tpu.ops.embedding import packed_lookup
+
+    ctx = _context()
+    if (
+        ctx is None
+        or ctx.table_axis not in ctx.mesh.axis_names
+        or (
+            ctx.mesh.shape[ctx.table_axis] == 1
+            and ctx.mesh.shape.get(ctx.data_axis, 1) == 1
+        )
+        or packed_table.shape[0] < ctx.min_rows_to_shard
+    ):
+        return packed_lookup(packed_table, ids, embed_size)
+    return sharded_packed_lookup(packed_table, ids, embed_size, ctx)
+
+
+def sharded_packed_lookup(
+    packed_table: jnp.ndarray,
+    ids: jnp.ndarray,
+    embed_size: int,
+    ctx: LookupContext,
+) -> jnp.ndarray:
+    """Row-sharded packed lookup: contribute-and-psum over ``table``.
+
+    Same collective layout as :func:`sharded_lookup`, but each shard decodes
+    the in-row slot *before* the psum, so the ICI payload is ``(B/dp, K, E)``
+    — identical to the unpacked path — while local gathers enjoy the packed
+    lane-width transactions.
+    """
+    mesh = ctx.mesh
+    ts = mesh.shape[ctx.table_axis]
+    pack = packed_table.shape[1] // embed_size
+
+    orig_shape = ids.shape
+    b = orig_shape[0]
+    flat_ids = ids.reshape(b, -1)
+    hi = flat_ids // pack
+    lo = flat_ids % pack
+
+    vp = packed_table.shape[0]
+    pad = (-vp) % ts
+    if pad:
+        packed_table = jnp.pad(packed_table, ((0, pad), (0, 0)))
+
+    def _local(shard: jnp.ndarray, hi_l: jnp.ndarray, lo_l: jnp.ndarray):
+        shard_rows = shard.shape[0]
+        base = jax.lax.axis_index(ctx.table_axis) * shard_rows
+        local = hi_l - base
+        ok = (local >= 0) & (local < shard_rows)
+        wide = jnp.take(shard, jnp.where(ok, local, 0), axis=0)
+        wide = wide.reshape(*hi_l.shape, pack, embed_size)
+        oh = jax.nn.one_hot(lo_l, pack, dtype=shard.dtype)
+        rows = jnp.einsum("...p,...pe->...e", oh, wide)
+        rows = jnp.where(ok[..., None], rows, jnp.zeros((), dtype=rows.dtype))
+        return jax.lax.psum(rows, ctx.table_axis)
+
+    out = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(ctx.table_axis, None), P(ctx.data_axis, None), P(ctx.data_axis, None)),
+        out_specs=P(ctx.data_axis, None, None),
+    )(packed_table, hi, lo)
+    return out.reshape(*orig_shape, embed_size)
+
+
 def sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray, ctx: LookupContext) -> jnp.ndarray:
     """Row-sharded lookup via shard_map contribute-and-psum.
 

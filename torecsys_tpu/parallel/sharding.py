@@ -54,12 +54,21 @@ def shard_params(params: Any, mesh: jax.sharding.Mesh, **kwargs) -> Any:
     return jax.device_put(params, shardings)
 
 
-def batch_sharding(mesh: jax.sharding.Mesh, data_axis: str = DATA_AXIS) -> NamedSharding:
-    """Sharding for a batch array: leading axis over ``data``."""
-    return NamedSharding(mesh, P(data_axis))
+def batch_sharding(
+    mesh: jax.sharding.Mesh, data_axis: str = DATA_AXIS, stacked: bool = False
+) -> NamedSharding:
+    """Sharding for a batch array: leading axis over ``data``.
+
+    ``stacked=True`` is for ``(K, B, ...)`` multi-step stacks (scan axis
+    first): the *second* axis is the batch axis.
+    """
+    spec = P(None, data_axis) if stacked else P(data_axis)
+    return NamedSharding(mesh, spec)
 
 
-def shard_batch(batch: Dict[str, jnp.ndarray], mesh: jax.sharding.Mesh) -> Dict[str, jnp.ndarray]:
-    """Place every array in a batch dict with its leading axis over ``data``."""
-    s = batch_sharding(mesh)
+def shard_batch(
+    batch: Dict[str, jnp.ndarray], mesh: jax.sharding.Mesh, stacked: bool = False
+) -> Dict[str, jnp.ndarray]:
+    """Place every array in a batch dict with its batch axis over ``data``."""
+    s = batch_sharding(mesh, stacked=stacked)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

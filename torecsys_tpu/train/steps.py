@@ -126,6 +126,26 @@ def make_train_step(pipeline: Pipeline) -> Callable[[TrainState, Batch], Tuple[T
     return train_step
 
 
+def make_train_scan(train_step):
+    """Wrap a train step in a ``lax.scan`` over a stacked batch dict.
+
+    ``stacked`` maps each field to a ``(K, B, ...)`` array — K micro-batches
+    executed in ONE device dispatch. On a high-latency runtime (tunneled TPU)
+    this amortizes the per-dispatch round trip; on a pod it shrinks host
+    involvement to one enqueue per K steps.
+    """
+
+    def scan_steps(state: TrainState, stacked: Batch):
+        def body(s, batch):
+            s, logs = train_step(s, batch)
+            return s, logs["loss"]
+
+        state, losses = jax.lax.scan(body, state, stacked)
+        return state, {"loss": losses[-1]}
+
+    return scan_steps
+
+
 def make_eval_step(pipeline: Pipeline, to_probability: bool = True):
     """Build the eval step: ``(state, batch) → (scores, targets)``.
 

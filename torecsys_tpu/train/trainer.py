@@ -34,6 +34,7 @@ from torecsys_tpu.train.state import TrainState
 from torecsys_tpu.train.steps import (
     make_eval_metrics_step,
     make_eval_step,
+    make_train_scan,
     make_train_step,
 )
 
@@ -50,6 +51,10 @@ class Trainer:
         log_every: training-loss log cadence in steps.
         profile_dir: when set, a ``jax.profiler`` trace of a few steps of the
             first epoch is written there.
+        steps_per_execution: micro-batches executed per device dispatch (a
+            jitted ``lax.scan`` over a stacked batch). >1 amortizes host
+            round-trips — essential on high-latency runtimes; any epoch-end
+            remainder falls back to single-step dispatches.
     """
 
     def __init__(
@@ -60,6 +65,7 @@ class Trainer:
         log_every: int = 100,
         seed: int = 0,
         profile_dir: Optional[str] = None,
+        steps_per_execution: int = 1,
     ):
         self.pipeline = pipeline.finalize()
         self.mesh = mesh
@@ -67,10 +73,12 @@ class Trainer:
         self.log_every = log_every
         self.seed = seed
         self.profile_dir = profile_dir
+        self.steps_per_execution = max(1, int(steps_per_execution))
         self.state: Optional[TrainState] = None
         self.history: list = []
 
         self._train_step_fn = None
+        self._train_scan_fn = None
         self._eval_step_fn = None
 
     # ---- setup ----------------------------------------------------------
@@ -82,6 +90,10 @@ class Trainer:
         self._logloss = StreamingLogLoss()
         metrics_step = make_eval_metrics_step(self.pipeline, self._auc, self._logloss)
         self._train_step_fn = jax.jit(train_step, donate_argnums=(0,))
+        if self.steps_per_execution > 1:
+            self._train_scan_fn = jax.jit(
+                make_train_scan(train_step), donate_argnums=(0,)
+            )
         self._eval_step_fn = jax.jit(eval_step)
         self._eval_metrics_fn = jax.jit(metrics_step)
         # computes are jitted too: on a remote TPU runtime every un-jitted op
@@ -144,30 +156,59 @@ class Trainer:
 
         metrics: Dict[str, float] = {}
         step = 0
+        spe = self.steps_per_execution
+
+        def dispatch_single(batch):
+            placed = self._place_batch(batch)
+            if self.mesh is not None:
+                # trace under the sharded-lookup context so embedding gathers
+                # compile to the shard_map path when a mesh is present.
+                with use_sharded_lookup(self.mesh):
+                    self.state, _ = self._train_step_fn(self.state, placed)
+            else:
+                self.state, _ = self._train_step_fn(self.state, placed)
+            return 1
+
+        def dispatch_stacked(buf):
+            if len(buf) < spe:  # remainder: single-step dispatches
+                return sum(dispatch_single(b) for b in buf)
+            stacked = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+            if self.mesh is not None:
+                placed = shard_batch(stacked, self.mesh, stacked=True)
+                with use_sharded_lookup(self.mesh):
+                    self.state, _ = self._train_scan_fn(self.state, placed)
+            else:
+                self.state, _ = self._train_scan_fn(self.state, stacked)
+            return len(buf)
+
         for epoch in range(max_epochs):
             t0 = time.time()
             n_examples = 0
             if self.state is not None:
                 self.state = self.state.reset_metrics()
+            buf = []
             for batch in self._epoch_iter(train_loader):
                 if self.state is None:
                     self.init_state(batch)
-                placed = self._place_batch(batch)
-                if self.profile_dir and step == 4:
+                n_examples += next(iter(batch.values())).shape[0]
+                if self.profile_dir and step >= 4 and not getattr(self, "_profiling", False):
+                    self._profiling = True
                     jax.profiler.start_trace(self.profile_dir)
-                # trace under the sharded-lookup context so embedding gathers
-                # compile to the shard_map path when a mesh is present.
                 # The loop body is pure dispatch: losses accumulate inside the
                 # donated state, nothing syncs with the host per step.
-                if self.mesh is not None:
-                    with use_sharded_lookup(self.mesh):
-                        self.state, logs = self._train_step_fn(self.state, placed)
+                if spe > 1:
+                    buf.append(batch)
+                    if len(buf) == spe:
+                        step += dispatch_stacked(buf)
+                        buf = []
+                    else:
+                        continue
                 else:
-                    self.state, logs = self._train_step_fn(self.state, placed)
-                if self.profile_dir and step == 8:
+                    step += dispatch_single(batch)
+                if self.profile_dir and getattr(self, "_profiling", False) and step >= 8:
                     jax.profiler.stop_trace()
-                n_examples += next(iter(batch.values())).shape[0]
-                step += 1
+                    self.profile_dir = None
+                    self._profiling = False
                 if step % self.log_every == 0:
                     ls, lc = jax.device_get((self.state.loss_sum, self.state.loss_count))
                     logger.info(
@@ -175,6 +216,8 @@ class Trainer:
                     )
                 if max_steps is not None and step >= max_steps:
                     break
+            if buf and (max_steps is None or step < max_steps):
+                step += dispatch_stacked(buf)
             ls, lc = jax.device_get((self.state.loss_sum, self.state.loss_count))
             elapsed = max(time.time() - t0, 1e-9)
             metrics = {
