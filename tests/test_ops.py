@@ -178,3 +178,41 @@ def test_packed_lookup_grad_is_scatter_add(np_rng):
     want = np.zeros((v, e), np.float32)
     np.add.at(want, np.asarray(ids).reshape(-1), np.asarray(w).reshape(-1, e))
     np.testing.assert_allclose(g_logical, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel equivalence (interpret mode on CPU; compiled path on TPU)
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_row_gather_matches_take(np_rng):
+    import torecsys_tpu.ops.pallas.embedding as pe
+
+    m, w = 300, 128
+    tbl = jnp.asarray(np_rng.normal(size=(m, w)).astype(np.float32))
+    # non-multiple of TILE to exercise the padding path
+    rows = jnp.asarray(np_rng.integers(0, m, size=(pe.TILE + 70,)).astype(np.int32))
+    got = np.asarray(pe._row_gather_impl(tbl, rows, interpret=True))
+    np.testing.assert_allclose(got, np.asarray(tbl)[np.asarray(rows)], rtol=1e-6)
+
+
+def test_pallas_row_gather_grad_is_scatter_add(np_rng):
+    """The custom VJP scatter-adds duplicate-row cotangents."""
+    from torecsys_tpu.ops.pallas import embedding as pe
+
+    m, w = 16, 128
+    tbl = jnp.asarray(np_rng.normal(size=(m, w)).astype(np.float32))
+    rows = jnp.asarray(np.array([0, 3, 3, 15, 0, 0], dtype=np.int32))
+    g = jnp.asarray(np_rng.normal(size=(rows.shape[0], w)).astype(np.float32))
+    dt, dr = pe._row_gather_bwd(m, "float32", rows, g)
+    assert dr is None
+    want = np.zeros((m, w), np.float32)
+    np.add.at(want, np.asarray(rows), np.asarray(g))
+    np.testing.assert_allclose(np.asarray(dt), want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_disabled_on_cpu():
+    """Dispatch gate: CPU backend (the test rig) never routes into Pallas."""
+    from torecsys_tpu.ops import pallas
+
+    assert pallas.enabled() is False

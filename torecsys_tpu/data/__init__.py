@@ -14,6 +14,7 @@ from torecsys_tpu.data.sample_data import (
     download_jester_data,
     download_ml_data,
     load_bx_data,
+    load_criteo_batches,
     load_criteo_data,
     load_ml_data,
     make_synthetic_ctr,
@@ -34,6 +35,7 @@ __all__ = [
     "download_jester_data",
     "download_ml_data",
     "load_bx_data",
+    "load_criteo_batches",
     "load_criteo_data",
     "load_ml_data",
     "make_synthetic_ctr",

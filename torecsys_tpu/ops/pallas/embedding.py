@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: pipelined embedding row gather.
+
+The reference's embedding hot path is a fused-table ``nn.Embedding`` gather
+(``/root/reference/torecsys/inputs/base/multi_indices_emb.py:103-104``). On
+TPU the analogous op — ``jnp.take(packed_table, row_ids, axis=0)`` — is a
+random-access HBM gather and therefore *latency* bound, not bandwidth bound:
+XLA issues it as one serialized dynamic-gather loop. This kernel instead
+keeps the table in HBM and streams each requested row to the output block
+with a window of ``K`` concurrent async DMAs, so row fetches overlap and the
+effective throughput approaches the HBM random-access ceiling.
+
+Layout contract: rows are *packed* (``torecsys_tpu.ops.embedding.pack_table``)
+so each stored row is ``P*E >= 128`` lanes wide — every DMA moves at least one
+full lane-width transaction. The in-row slot selection (``ids % P``) stays
+outside the kernel as a one-hot MXU contraction that XLA fuses.
+
+The backward pass (scatter-add of duplicate ids) is defined via
+``jax.custom_vjp`` as the XLA ``.at[rows].add`` — a read-modify-write race
+under a naive Pallas grid, and measured on v5e the XLA scatter path is
+already within ~20% of the packed-layout bandwidth bound, so the kernel is
+forward-only by design.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ids handled per grid program; scratch/out block is (TILE, row_width).
+TILE = 512
+# concurrent row DMAs in flight per program
+WINDOW = 8
+
+
+def _gather_kernel(rows_ref, table_ref, out_ref, sems):
+    """One program gathers TILE rows: table[rows[base+i]] -> out[i].
+
+    ``rows_ref`` is scalar-prefetched (SMEM) so row indices are known before
+    the body runs; the table stays in HBM/ANY and rows stream directly into
+    the VMEM output block with ``WINDOW`` DMAs in flight.
+    """
+    base = pl.program_id(0) * TILE
+
+    def row_dma(i):
+        return pltpu.make_async_copy(
+            table_ref.at[pl.ds(rows_ref[base + i], 1), :],
+            out_ref.at[pl.ds(i, 1), :],
+            sems.at[i % WINDOW],
+        )
+
+    def body(i, _):
+        @pl.when(i < TILE)
+        def _():
+            row_dma(i).start()
+
+        @pl.when(i >= WINDOW)
+        def _():
+            row_dma(i - WINDOW).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, TILE + WINDOW, body, 0, unroll=True)
+
+
+def row_gather(table: jnp.ndarray, row_ids: jnp.ndarray) -> jnp.ndarray:
+    """``table[row_ids]`` as a pipelined Pallas gather.
+
+    Args:
+        table: ``(M, W)`` packed table, W a multiple of 128 lanes.
+        row_ids: ``(num,)`` int32 stored-row indices in ``[0, M)``.
+
+    Returns:
+        ``(num, W)``.
+    """
+    return _row_gather_cvjp(table.shape[0], str(table.dtype), table, row_ids)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _row_gather_cvjp(num_rows, dtype_name, table, row_ids):
+    return _row_gather_impl(table, row_ids)
+
+
+def _row_gather_impl(table, row_ids, interpret: bool = False):
+    num = row_ids.shape[0]
+    pad = (-num) % TILE
+    if pad:
+        row_ids = jnp.pad(row_ids, (0, pad))
+    padded = num + pad
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(padded // TILE,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (TILE, table.shape[1]),
+            lambda i, rows: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((WINDOW,))],
+    )
+    out = pl.pallas_call(
+        _gather_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((padded, table.shape[1]), table.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=padded * table.shape[1] * table.dtype.itemsize * 2,
+            transcendentals=0,
+        ),
+    )(row_ids.astype(jnp.int32), table)
+    return out[:num] if pad else out
+
+
+def _row_gather_fwd(num_rows, dtype_name, table, row_ids):
+    return _row_gather_impl(table, row_ids), row_ids
+
+
+def _row_gather_bwd(num_rows, dtype_name, row_ids, g):
+    # scatter-add of duplicate-id cotangents; XLA's transpose-of-gather path
+    # (SURVEY.md §7 hard part #1 — grads for duplicate ids).
+    dtype = jnp.dtype(dtype_name)
+    dt = jnp.zeros((num_rows, g.shape[1]), dtype).at[row_ids].add(g.astype(dtype))
+    return dt, None
+
+
+_row_gather_cvjp.defvjp(_row_gather_fwd, _row_gather_bwd)
