@@ -13,6 +13,9 @@ from torecsys_tpu.data.native import (
 HASH_SIZES = [1000 + 37 * f for f in range(NUM_CATS)]
 
 
+GARBAGE_DENSE = ["12a", "+5", "-3", " 7", "+", "-", "0x1f", "3.5", "1e3", ""]
+
+
 def _synthetic_lines(n, seed=0, mangle=False):
     rng = np.random.default_rng(seed)
     lines = []
@@ -26,9 +29,16 @@ def _synthetic_lines(n, seed=0, mangle=False):
             "" if rng.uniform() < 0.2 else f"{int(rng.integers(0, 2**32)):08x}"
             for _ in range(NUM_CATS)
         ]
+        if mangle and i % 11 == 5:
+            # garbage / signed / whitespace / sign-only dense tokens: both
+            # parsers must treat non-`[+-]?[0-9]+` tokens as missing
+            for f in range(NUM_DENSE):
+                dense[f] = GARBAGE_DENSE[(i + f) % len(GARBAGE_DENSE)]
         line = "\t".join([label] + dense + cats)
         if mangle and i % 7 == 3:
             line = line[: len(line) // 2]  # malformed row -> zeros
+        if mangle and i % 13 == 8:
+            line = line + "\textra\tfields"  # >40 fields -> zero row
         lines.append(line)
     return ("\n".join(lines) + "\n").encode()
 

@@ -4,6 +4,8 @@ The reference only asserts output shapes (SURVEY.md §4); these tests pin the
 actual numbers so kernel rewrites (Pallas) can be verified against them.
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -209,6 +211,26 @@ def test_pallas_row_gather_grad_is_scatter_add(np_rng):
     want = np.zeros((m, w), np.float32)
     np.add.at(want, np.asarray(rows), np.asarray(g))
     np.testing.assert_allclose(np.asarray(dt), want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_row_gather_jax_grad_end_to_end(np_rng, monkeypatch):
+    """jax.grad through the custom_vjp-wrapped ``row_gather`` itself — the
+    None cotangent for int32 row ids and the residual plumbing included
+    (the bwd-only test above never exercises either)."""
+    from torecsys_tpu.ops.pallas import embedding as pe
+
+    monkeypatch.setattr(
+        pe, "_row_gather_impl", functools.partial(pe._row_gather_impl, interpret=True)
+    )
+    m, w = 16, 128
+    tbl = jnp.asarray(np_rng.normal(size=(m, w)).astype(np.float32))
+    rows = jnp.asarray(np.array([0, 3, 3, 15, 0, 0], dtype=np.int32))
+    cot = jnp.asarray(np_rng.normal(size=(rows.shape[0], w)).astype(np.float32))
+
+    g = jax.grad(lambda t: jnp.sum(cot * pe.row_gather(t, rows)))(tbl)
+    want = np.zeros((m, w), np.float32)
+    np.add.at(want, np.asarray(rows), np.asarray(cot))
+    np.testing.assert_allclose(np.asarray(g), want, rtol=1e-5, atol=1e-6)
 
 
 def test_pallas_disabled_on_cpu():

@@ -14,6 +14,7 @@ per-row Python collate (``data/dataloader/collate_fn.py:53-128``).
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -29,10 +30,26 @@ NUM_CATS = 26
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "criteo_parser.cc")
-_LIB_PATH = os.path.join(_HERE, "_criteo_parser.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
+
+
+def _cached_lib_path() -> str:
+    """Per-machine build-cache path keyed by a hash of the source.
+
+    The binary is never committed: every machine compiles its own (git does
+    not preserve mtimes and ``-march=native`` binaries are not portable), and
+    the source-hash key means an edited ``.cc`` can never load stale code.
+    """
+    with open(_SRC, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    cache_dir = os.path.join(cache_root, "torecsys_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"_criteo_parser_{src_hash}.so")
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
@@ -44,14 +61,16 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         if _build_failed:
             return None
         try:
-            if (not os.path.exists(_LIB_PATH)
-                    or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            lib_path = _cached_lib_path()
+            if not os.path.exists(lib_path):
+                tmp_path = f"{lib_path}.tmp.{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", "-pthread", _SRC, "-o", _LIB_PATH],
+                     "-std=c++17", "-pthread", _SRC, "-o", tmp_path],
                     check=True, capture_output=True,
                 )
-            lib = ctypes.CDLL(_LIB_PATH)
+                os.replace(tmp_path, lib_path)  # atomic vs concurrent builds
+            lib = ctypes.CDLL(lib_path)
             lib.trs_parse_criteo.restype = ctypes.c_int64
             lib.trs_parse_criteo.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
@@ -82,6 +101,18 @@ def _fnv1a(token: bytes) -> int:
     return h
 
 
+def _parse_dense_token(tok: bytes) -> int:
+    """Strict dense-token grammar: ``[+-]?[0-9]+`` or missing → 0.
+
+    Both parsers implement exactly this (no ``int()`` whitespace tolerance,
+    no C-style partial parse), so output never depends on which path ran.
+    """
+    digits = tok[1:] if tok[:1] in (b"+", b"-") else tok
+    if not digits or not digits.isdigit():
+        return 0
+    return int(tok)
+
+
 def _parse_python(data: bytes, max_rows: int, hash_sizes: np.ndarray):
     """Pure-Python oracle, bit-identical to the C++ path.
 
@@ -103,11 +134,7 @@ def _parse_python(data: bytes, max_rows: int, hash_sizes: np.ndarray):
             continue
         labels[r] = 1.0 if parts[0][:1] == b"1" else 0.0
         for f in range(NUM_DENSE):
-            tok = parts[1 + f]
-            try:
-                v = int(tok) if tok else 0
-            except ValueError:
-                v = 0
+            v = _parse_dense_token(parts[1 + f])
             dense[r, f] = np.log1p(np.float32(v)) if v > 0 else 0.0
         for f in range(NUM_CATS):
             tok = parts[1 + NUM_DENSE + f]
@@ -138,6 +165,10 @@ def parse_criteo_tsv(
     hs = np.asarray(list(hash_sizes), dtype=np.int64)
     if hs.shape != (NUM_CATS,):
         raise ValueError(f"hash_sizes must have {NUM_CATS} entries, got {hs.shape}")
+    if not (hs > 0).all():
+        # zero would divide-by-zero in the C++ modulo; negative would emit
+        # out-of-range ids via the uint64 cast — reject both up front.
+        raise ValueError(f"hash_sizes must all be positive, got {hs.tolist()}")
     if max_rows is None:
         max_rows = data.count(b"\n") + (0 if data.endswith(b"\n") else 1)
     max_rows = max(0, max_rows)

@@ -48,31 +48,45 @@ bool parse_line(const char* p, const char* end, float* label, float* dense,
   if (tab == nullptr) return false;
   *label = (p < tab && *p == '1') ? 1.0f : 0.0f;
   p = tab + 1;
-  // 13 dense integer features
+  // 13 dense integer features. Strict token grammar [+-]?[0-9]+ (mirrors
+  // _parse_dense_token in __init__.py); anything else counts as missing.
   for (int f = 0; f < kDense; ++f) {
     tab = static_cast<const char*>(memchr(p, '\t', end - p));
     if (tab == nullptr) return false;
-    if (p == tab) {
+    const char* q = p;
+    bool neg = false;
+    if (q < tab && (*q == '+' || *q == '-')) {
+      neg = (*q == '-');
+      ++q;
+    }
+    bool ok = q < tab;  // at least one digit required
+    long v = 0;
+    for (; q < tab; ++q) {
+      if (*q < '0' || *q > '9') {
+        ok = false;
+        break;
+      }
+      v = v * 10 + (*q - '0');
+    }
+    if (!ok) {
       dense[f] = 0.0f;
     } else {
-      bool neg = (*p == '-');
-      long v = 0;
-      for (const char* q = p + (neg ? 1 : 0); q < tab; ++q) {
-        if (*q < '0' || *q > '9') break;
-        v = v * 10 + (*q - '0');
-      }
       if (neg) v = -v;
       dense[f] = v > 0 ? log1pf(static_cast<float>(v)) : 0.0f;
     }
     p = tab + 1;
   }
-  // 26 categorical hex tokens (last one ends at end-of-line)
+  // 26 categorical hex tokens. The last token must reach end-of-line with no
+  // further tab — a >40-field row is malformed (→ zero row), matching the
+  // Python oracle's exact `len(parts) == 40` check.
   for (int f = 0; f < kCats; ++f) {
-    const char* stop =
-        (f == kCats - 1)
-            ? end
-            : static_cast<const char*>(memchr(p, '\t', end - p));
-    if (stop == nullptr) return false;
+    const char* stop = static_cast<const char*>(memchr(p, '\t', end - p));
+    if (f == kCats - 1) {
+      if (stop != nullptr) return false;  // extra fields → malformed
+      stop = end;
+    } else if (stop == nullptr) {
+      return false;  // too few fields → malformed
+    }
     if (p == stop) {
       cats[f] = 0;
     } else {

@@ -22,12 +22,17 @@ import jax
 
 
 def enabled() -> bool:
-    """True when Pallas kernels should be used for the hot paths (opt-in)."""
+    """True when Pallas kernels should be used for the hot paths (opt-in).
+
+    Gated on an actual TPU backend (the kernels lower through Mosaic/pltpu
+    — DMA semaphores, PrefetchScalarGridSpec — which no other backend can
+    compile): ``axon`` is the experimental tunneled-TPU platform name.
+    """
     flag = os.environ.get("TORECSYS_TPU_PALLAS", "0")
     if flag not in ("1", "true", "on", "force"):
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        return jax.default_backend() in ("tpu", "axon")
     except RuntimeError:
         return False
 

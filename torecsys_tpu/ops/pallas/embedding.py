@@ -94,7 +94,7 @@ def _row_gather_impl(table, row_ids, interpret: bool = False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(padded // TILE,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (TILE, table.shape[1]),
             lambda i, rows: (i, 0),
