@@ -29,6 +29,7 @@ import numpy as np
 
 from torecsys_tpu.inputs.base import BaseInput, Batch
 from torecsys_tpu.ops.embedding import field_offsets, pack_factor, packed_shape
+from torecsys_tpu.ops.sparse import sparse_grads_enabled
 from torecsys_tpu.parallel.lookup import (
     maybe_sharded_lookup,
     maybe_sharded_packed_lookup,
@@ -97,7 +98,18 @@ class SingleIndexEmbedding(BaseInput):
             init = nn.initializers.normal(stddev=0.01)
         table = self.param("embedding", init, (self.field_size, self.embed_size))
         ids = self._stack_fields(batch, self.fields)  # (B, 1)
+        if sparse_grads_enabled():
+            return self._sparse_lookup(table, ids)
         return maybe_sharded_lookup(table, ids)  # (B, 1, E)
+
+    def _sparse_lookup(self, table, ids):
+        """Touched-rows-only gradient path (see ``ops.sparse``): rows come
+        from a stop-gradient view; per-slot grads flow through the
+        perturbation; the ids are sown for the row-wise optimizer."""
+        rows = maybe_sharded_lookup(jax.lax.stop_gradient(table), ids)
+        rows = self.perturb("lookup", rows)
+        self.sow("lookup_ids", "ids", ids)
+        return rows
 
 
 class MultiIndicesEmbedding(BaseInput):
@@ -146,6 +158,15 @@ class MultiIndicesEmbedding(BaseInput):
     def embed(self, ids: jnp.ndarray) -> jnp.ndarray:
         """Direct tensor-level lookup of raw per-field ids ``(B, N) → (B, N, E)``."""
         shifted = ids + jnp.asarray(self.offsets, dtype=ids.dtype)[None, :]
+        if sparse_grads_enabled():
+            # Touched-rows-only gradient path (ops.sparse): forward value is
+            # identical; the table's dense cotangent is never materialized.
+            rows = maybe_sharded_packed_lookup(
+                jax.lax.stop_gradient(self.table), shifted, self.embed_size
+            )
+            rows = self.perturb("lookup", rows)
+            self.sow("lookup_ids", "ids", shifted)
+            return rows
         return maybe_sharded_packed_lookup(self.table, shifted, self.embed_size)
 
 
@@ -181,16 +202,40 @@ class MultiIndicesFieldAwareEmbedding(BaseInput):
         ids = self._stack_fields(batch, self.fields)  # (B, N)
         n = len(self.field_sizes)
         shifted = ids + jnp.asarray(self.offsets, dtype=ids.dtype)[None, :]
-        # vmap the lookup over the N tables: (N, Vp, P*E) x (B, N) -> (N, B, N, E)
-        per_table = jax.vmap(
-            lambda t: maybe_sharded_packed_lookup(t, shifted, self.embed_size)
-        )(self.tables)
-        out = jnp.transpose(per_table, (1, 0, 2, 3))  # (B, Ntab, Nfield, E)
-        b = out.shape[0]
-        out = out.reshape(b, n * n, self.embed_size)
+        b = ids.shape[0]
+        if sparse_grads_enabled():
+            out = self._sparse_lookup(shifted, n).reshape(b, n * n, self.embed_size)
+        else:
+            # vmap the lookup over the N tables:
+            # (N, Vp, P*E) x (B, N) -> (N, B, N, E)
+            per_table = jax.vmap(
+                lambda t: maybe_sharded_packed_lookup(t, shifted, self.embed_size)
+            )(self.tables)
+            out = jnp.transpose(per_table, (1, 0, 2, 3))  # (B, Ntab, Nfield, E)
+            out = out.reshape(b, n * n, self.embed_size)
         if self.flatten:
             out = out.reshape(b, 1, -1)
         return out
+
+    def _sparse_lookup(self, shifted: jnp.ndarray, n: int) -> jnp.ndarray:
+        """Touched-rows-only gradient path over the N logical tables.
+
+        The ``(N, Vp, P*E)`` parameter is viewed as one flat packed table of
+        ``N * Vp * P`` logical rows; slot ``(i, j)``'s global row id is
+        ``i * Vp * P + shifted[:, j]`` — the same logical-row indexing the
+        row-wise optimizer's ``(rows, E)`` view uses.
+        """
+        vp, w = self.tables.shape[1], self.tables.shape[2]
+        rows_per_table = vp * (w // self.embed_size)
+        flat_tables = jax.lax.stop_gradient(self.tables).reshape(-1, w)
+        gids = (
+            shifted[:, None, :]
+            + (jnp.arange(n, dtype=shifted.dtype) * rows_per_table)[None, :, None]
+        )  # (B, Ntab, Nfield)
+        rows = maybe_sharded_packed_lookup(flat_tables, gids, self.embed_size)
+        rows = self.perturb("lookup", rows)
+        self.sow("lookup_ids", "ids", gids)
+        return rows
 
 
 class ConcatInput(BaseInput):

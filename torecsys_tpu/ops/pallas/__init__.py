@@ -37,6 +37,23 @@ def enabled() -> bool:
         return False
 
 
+def sparse_update_enabled() -> bool:
+    """Gate for the fused touched-rows optimizer kernel
+    (``ops/pallas/sparse_update.py``).
+
+    Unlike the opt-in forward gather, this kernel replaces a sequence of XLA
+    row gathers/scatters that are serialized dynamic-slice loops — measured
+    an order of magnitude slower than the DMA-pipelined kernel — so it is ON
+    by default on TPU; ``TORECSYS_TPU_SPARSE_KERNEL=0`` opts out.
+    """
+    if os.environ.get("TORECSYS_TPU_SPARSE_KERNEL", "1") in ("0", "false", "off"):
+        return False
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 from torecsys_tpu.ops.pallas.embedding import row_gather  # noqa: E402
 
-__all__ = ["enabled", "row_gather"]
+__all__ = ["enabled", "row_gather", "sparse_update_enabled"]

@@ -1,0 +1,287 @@
+"""Sparse (touched-rows-only) embedding gradients: dedup + row-wise optimizers.
+
+Why this exists: the reference updates its embedding tables through a dense
+optimizer — every Adam step reads and writes params/m/v for **all** V rows
+(``/root/reference/torecsys/inputs/base/multi_indices_emb.py:48`` is a plain
+``nn.Embedding`` under ``torch.optim.Adam``).  At real Criteo hashing scale
+(tens of millions of rows) that is gigabytes of HBM traffic per step for rows
+whose gradient is exactly zero, and the dense ``(V, E)`` gradient buffer alone
+can exceed chip HBM.  The TPU-native fix has two halves:
+
+1. **Never materialize a dense table gradient.**  Input modules look up rows
+   from a ``stop_gradient`` view of the table and route the looked-up rows
+   through ``flax``'s ``perturb`` mechanism, so ``jax.grad`` produces per-slot
+   gradients of shape ``(B, N, E)`` — O(batch), not O(vocab).
+2. **Update only the touched rows.**  :func:`dedup_sum` turns the per-slot
+   gradients into (unique row id, summed gradient) pairs of a *static* size
+   (XLA-friendly: padding slots carry an out-of-bounds sentinel that scatter
+   drops), and the :class:`RowAdam` / :class:`RowAdagrad` / :class:`RowSGD`
+   transforms gather/update/scatter just those rows of the table and its
+   optimizer slots.
+
+Semantics note: this is **lazy** Adam (à la TF ``LazyAdamOptimizer``) — rows
+not present in a batch keep their momentum frozen instead of continuing to
+decay/apply it.  For plain Adam the two are bitwise identical while a row's
+gradient stays zero *and* its momentum is zero; rows touched earlier diverge
+slightly.  This is the standard, accepted trade for recsys embedding tables.
+
+The context flag (:func:`use_sparse_embedding_grads`) is read at **trace
+time** by the input modules, mirroring ``parallel.lookup.use_sharded_lookup``:
+enter it around jit-tracing of the train step and the choice is baked into
+the compiled program.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import threading
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+_state = threading.local()
+
+
+def sparse_grads_enabled() -> bool:
+    """True inside a :func:`use_sparse_embedding_grads` block."""
+    return bool(getattr(_state, "on", False))
+
+
+@contextlib.contextmanager
+def use_sparse_embedding_grads():
+    """Route embedding lookups traced inside this block through the
+    stop-gradient + perturbation path (per-slot grads, no dense cotangent)."""
+    prev = getattr(_state, "on", False)
+    _state.on = True
+    try:
+        yield
+    finally:
+        _state.on = prev
+
+
+def dedup_sum(ids: jnp.ndarray, grads: jnp.ndarray, num_rows: int):
+    """Combine duplicate-id gradients: ``(M,) ids, (M, E) grads → (M,), (M, E)``.
+
+    Returns ``(uids, gsum)`` where slot ``k < n_unique`` holds the k-th unique
+    id (sorted) and the sum of its occurrences' gradients — matching the
+    dense scatter-add semantics of autodiff through a gather — and slots
+    ``k >= n_unique`` hold the out-of-bounds sentinel ``num_rows`` with zero
+    gradient, so downstream ``.at[uids].set(..., mode='drop')`` ignores them.
+    Static output size M keeps the whole pipeline jit-compatible.
+    """
+    m = ids.shape[0]
+    ids = ids.astype(jnp.int32)
+    sorted_ids, order = jax.lax.sort_key_val(ids, jnp.arange(m, dtype=jnp.int32))
+    g_sorted = jnp.take(grads, order, axis=0)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # segment per position
+    gsum = jax.ops.segment_sum(g_sorted, seg, num_segments=m)
+    uids = jax.ops.segment_max(sorted_ids, seg, num_segments=m)
+    n_unique = seg[-1] + 1
+    valid = jnp.arange(m, dtype=jnp.int32) < n_unique
+    uids = jnp.where(valid, uids, jnp.int32(num_rows))
+    return uids, gsum
+
+
+def dedup_sum_stored(
+    ids: jnp.ndarray, grads: jnp.ndarray, pack: int, num_stored_rows: int
+):
+    """Stored-row-space dedup: ``(M,) logical ids, (M, E) grads →
+    (M,) unique stored-row ids, (M, P*E) wide summed grads``.
+
+    TPU rationale: per-row gathers/scatters are only efficient at full lane
+    width (128); updating in the packed stored layout makes every touched-row
+    access a ``(P*E,)``-wide transaction.  Each logical grad is placed into
+    its in-row slot (``id % P``) via a one-hot MXU contraction, then summed
+    per stored row (``id // P``).
+
+    Semantics: optimizer laziness becomes stored-row-granular — a logical row
+    sharing a stored row with a touched one gets a zero gradient (for Adam:
+    its momentum decays like dense Adam's would; rows with zero momentum are
+    bitwise unchanged).
+    """
+    if pack == 1:
+        return dedup_sum(ids, grads, num_stored_rows)
+    m, e = grads.shape
+    hi = ids.astype(jnp.int32) // pack
+    lo = ids.astype(jnp.int32) % pack
+    oh = jax.nn.one_hot(lo, pack, dtype=grads.dtype)
+    wide = jnp.einsum("mp,me->mpe", oh, grads).reshape(m, pack * e)
+    return dedup_sum(hi, wide, num_stored_rows)
+
+
+def _rows(arr: jnp.ndarray, embed_size: int) -> jnp.ndarray:
+    """Logical ``(rows, E)`` view of a (possibly packed / 3-D) table.
+
+    Packed ``(Vp, P*E)`` and field-aware ``(N, Vp, P*E)`` tables reshape to
+    logical rows for free (same memory layout); ids produced by the input
+    modules address exactly this view.
+    """
+    return arr.reshape(-1, embed_size)
+
+
+def _take0(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    # OOB sentinel slots gather zeros (never garbage) and are dropped on
+    # write; dedup_sum emits ids ascending, so declare sortedness.
+    return jnp.take(
+        arr, idx, axis=0, mode="fill", fill_value=0, indices_are_sorted=True
+    )
+
+
+def _put(arr: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray) -> jnp.ndarray:
+    return arr.at[idx].set(
+        val, mode="drop", unique_indices=True, indices_are_sorted=True
+    )
+
+
+def _fused_eligible(rows_view: jnp.ndarray) -> bool:
+    """True when the fused Pallas update kernel can take this table."""
+    from torecsys_tpu.ops import pallas as _pallas
+
+    return (
+        rows_view.shape[-1] % 128 == 0
+        and rows_view.dtype == jnp.float32
+        and _pallas.sparse_update_enabled()
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class RowAdam:
+    """Lazy row-wise Adam(W) over an embedding table.
+
+    Matches ``optax.adam`` / ``optax.adamw`` math on the touched rows
+    (global-step bias correction, decoupled weight decay for AdamW).
+    """
+
+    learning_rate: float = 1e-3
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+
+    def init(self, table: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return {"m": jnp.zeros_like(table), "v": jnp.zeros_like(table)}
+
+    def update(self, table, slots, uids, gsum, step):
+        e = gsum.shape[-1]
+        shape = table.shape
+        tbl, m, v = _rows(table, e), _rows(slots["m"], e), _rows(slots["v"], e)
+        t = (step + 1).astype(jnp.float32)
+        bc1 = 1.0 / (1.0 - jnp.power(self.b1, t))
+        bc2 = 1.0 / (1.0 - jnp.power(self.b2, t))
+        if _fused_eligible(tbl):
+            from torecsys_tpu.ops.pallas.sparse_update import fused_rowwise_update
+
+            hyper = jnp.stack([
+                jnp.float32(self.learning_rate), jnp.float32(self.b1),
+                jnp.float32(self.b2), jnp.float32(self.eps),
+                jnp.float32(self.weight_decay), bc1, bc2,
+            ])
+            new_t, (new_m, new_v) = fused_rowwise_update(
+                uids, gsum, tbl, (m, v), hyper, "adam"
+            )
+            return new_t.reshape(shape), {
+                "m": new_m.reshape(shape), "v": new_v.reshape(shape)
+            }
+        row_u, m_u, v_u = _take0(tbl, uids), _take0(m, uids), _take0(v, uids)
+        new_m = self.b1 * m_u + (1.0 - self.b1) * gsum
+        new_v = self.b2 * v_u + (1.0 - self.b2) * jnp.square(gsum)
+        upd = self.learning_rate * ((new_m * bc1) / (jnp.sqrt(new_v * bc2) + self.eps))
+        if self.weight_decay:
+            upd = upd + self.learning_rate * self.weight_decay * row_u
+        return (
+            _put(tbl, uids, row_u - upd).reshape(shape),
+            {
+                "m": _put(m, uids, new_m).reshape(shape),
+                "v": _put(v, uids, new_v).reshape(shape),
+            },
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class RowAdagrad:
+    """Lazy row-wise Adagrad (matches ``optax.adagrad``'s scale_by_rss)."""
+
+    learning_rate: float = 1e-3
+    initial_accumulator_value: float = 0.1
+    eps: float = 1e-7
+
+    def init(self, table: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return {"v": jnp.full_like(table, self.initial_accumulator_value)}
+
+    def update(self, table, slots, uids, gsum, step):
+        e = gsum.shape[-1]
+        shape = table.shape
+        tbl, v = _rows(table, e), _rows(slots["v"], e)
+        if _fused_eligible(tbl):
+            from torecsys_tpu.ops.pallas.sparse_update import fused_rowwise_update
+
+            hyper = jnp.stack([
+                jnp.float32(self.learning_rate), jnp.float32(0), jnp.float32(0),
+                jnp.float32(self.eps), jnp.float32(0), jnp.float32(1), jnp.float32(1),
+            ])
+            new_t, (new_v,) = fused_rowwise_update(
+                uids, gsum, tbl, (v,), hyper, "adagrad"
+            )
+            return new_t.reshape(shape), {"v": new_v.reshape(shape)}
+        row_u, v_u = _take0(tbl, uids), _take0(v, uids)
+        new_v = v_u + jnp.square(gsum)
+        # optax.scale_by_rss: update = g * (1/sqrt(v + eps)) masked where v>0
+        upd = self.learning_rate * gsum * jax.lax.rsqrt(new_v + self.eps)
+        return (
+            _put(tbl, uids, row_u - upd).reshape(shape),
+            {"v": _put(v, uids, new_v).reshape(shape)},
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class RowSGD:
+    """Row-wise plain SGD (no momentum — momentum configs fall back dense)."""
+
+    learning_rate: float = 1e-3
+
+    def init(self, table: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        return {}
+
+    def update(self, table, slots, uids, gsum, step):
+        e = gsum.shape[-1]
+        shape = table.shape
+        tbl = _rows(table, e)
+        if _fused_eligible(tbl):
+            from torecsys_tpu.ops.pallas.sparse_update import fused_rowwise_update
+
+            hyper = jnp.stack([
+                jnp.float32(self.learning_rate), jnp.float32(0), jnp.float32(0),
+                jnp.float32(0), jnp.float32(0), jnp.float32(1), jnp.float32(1),
+            ])
+            new_t, _ = fused_rowwise_update(uids, gsum, tbl, (), hyper, "sgd")
+            return new_t.reshape(shape), {}
+        row_u = _take0(tbl, uids)
+        new_rows = row_u - self.learning_rate * gsum
+        return _put(tbl, uids, new_rows).reshape(shape), {}
+
+
+def get_row_optimizer(method: str = "Adam", lr: float = 1e-3, **kwargs) -> Optional[object]:
+    """Row-wise twin of ``train.optimizers.get_optimizer`` for the names that
+    have a lazy formulation; returns None when the config is unsupported (the
+    caller then falls back to the dense optax path).
+    """
+    lr = kwargs.pop("learning_rate", lr)
+    name = method.lower()
+    try:
+        if name == "adam":
+            return RowAdam(learning_rate=lr, **kwargs)
+        if name == "adamw":
+            kwargs.setdefault("weight_decay", 1e-4)  # optax.adamw default
+            return RowAdam(learning_rate=lr, **kwargs)
+        if name == "adagrad":
+            return RowAdagrad(learning_rate=lr, **kwargs)
+        if name == "sgd" and not kwargs:
+            return RowSGD(learning_rate=lr)
+    except TypeError:  # unsupported kwarg for this optimizer
+        return None
+    return None

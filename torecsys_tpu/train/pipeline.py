@@ -50,6 +50,12 @@ class Pipeline:
     miner_target_field: Optional[str] = None
     target_fields: str = "label"
     num_negs: int = 1
+    # Sparse (touched-rows-only) embedding updates — see torecsys_tpu.ops.sparse.
+    # None = auto: on for the 'ctr' objective when the optimizer (by name) has
+    # a lazy row-wise formulation (Adam/AdamW/Adagrad/SGD); True forces it
+    # (raises if unsupported); False forces the dense optax path.
+    sparse_embeddings: Optional[bool] = None
+    optimizer_spec: Optional[Dict[str, Any]] = None
 
     # ---- builder setters (each returns self for chaining) ---------------
 
@@ -96,9 +102,49 @@ class Pipeline:
     def set_optimizer(self, optimizer="Adam", **kwargs) -> "Pipeline":
         if isinstance(optimizer, str):
             self.optimizer = get_optimizer(optimizer, **kwargs)
+            self.optimizer_spec = {"method": optimizer, **kwargs}
         else:
             self.optimizer = optimizer
+            self.optimizer_spec = None  # opaque transform: no row-wise twin
         return self
+
+    def set_sparse_embeddings(self, enabled: Optional[bool]) -> "Pipeline":
+        self.sparse_embeddings = enabled
+        return self
+
+    def row_optimizer(self):
+        """Row-wise (lazy) optimizer for embedding tables, or None.
+
+        None disables the sparse path and the train step falls back to dense
+        optax updates over the full tables (the reference's semantics,
+        ``torch.optim.Adam`` over ``nn.Embedding`` weights).
+        """
+        from torecsys_tpu.ops.sparse import get_row_optimizer
+
+        if self.sparse_embeddings is False:
+            return None
+        if self.objective != "ctr":
+            if self.sparse_embeddings is True:
+                raise ValueError(
+                    "sparse_embeddings=True requires objective='ctr' "
+                    f"(got {self.objective!r})"
+                )
+            return None
+        if self.optimizer_spec is None:
+            if self.sparse_embeddings is True:
+                raise ValueError(
+                    "sparse_embeddings=True requires a named optimizer "
+                    "(set_optimizer('Adam', ...)), not an opaque transform"
+                )
+            return None
+        spec = dict(self.optimizer_spec)
+        row = get_row_optimizer(spec.pop("method", "Adam"), **spec)
+        if row is None and self.sparse_embeddings is True:
+            raise ValueError(
+                f"optimizer {self.optimizer_spec!r} has no row-wise (lazy) "
+                "formulation; supported: Adam, AdamW, Adagrad, SGD(plain)"
+            )
+        return row
 
     def set_target_fields(self, fields: str) -> "Pipeline":
         self.target_fields = fields
@@ -122,6 +168,7 @@ class Pipeline:
             self.criterion = BCEWithLogitsLoss()
         if self.optimizer is None:
             self.optimizer = get_optimizer("Adam", lr=1e-3)
+            self.optimizer_spec = {"method": "Adam", "lr": 1e-3}
         if self.objective in ("ltr", "emb"):
             if self.miner is None:
                 self.miner = get_miner("UniformBatchMiner")
@@ -187,4 +234,6 @@ class Pipeline:
             p.set_miner_target_field(config["miner_target_field"])
         if config.get("target_fields") is not None:
             p.set_target_fields(config["target_fields"])
+        if "sparse_embeddings" in config:
+            p.set_sparse_embeddings(config["sparse_embeddings"])
         return p

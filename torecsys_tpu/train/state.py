@@ -32,12 +32,31 @@ class TrainState:
     loss_count: jnp.ndarray
 
     @classmethod
-    def create(cls, variables: Dict[str, Any], tx, rng: jax.Array) -> "TrainState":
+    def create(
+        cls,
+        variables: Dict[str, Any],
+        tx,
+        rng: jax.Array,
+        row_tx=None,
+        sparse_table_paths=None,
+    ) -> "TrainState":
+        """Build initial state.
+
+        With ``row_tx`` + ``sparse_table_paths`` set, the optimizer state is
+        the hybrid layout (``train.sparse``): dense optax state over the
+        non-table params plus row-wise slots per embedding table.
+        """
         params = variables["params"]
+        if row_tx is not None and sparse_table_paths:
+            from torecsys_tpu.train.sparse import init_hybrid_opt_state
+
+            opt_state = init_hybrid_opt_state(tx, row_tx, params, sparse_table_paths)
+        else:
+            opt_state = tx.init(params)
         return cls(
             params=params,
             batch_stats=variables.get("batch_stats", {}),
-            opt_state=tx.init(params),
+            opt_state=opt_state,
             step=jnp.zeros((), dtype=jnp.int32),
             rng=rng,
             loss_sum=jnp.zeros((), dtype=jnp.float32),

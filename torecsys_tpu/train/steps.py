@@ -26,8 +26,18 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from torecsys_tpu.ops.sparse import dedup_sum_stored, use_sparse_embedding_grads
 from torecsys_tpu.train.pipeline import Pipeline
+from torecsys_tpu.train.sparse import (
+    is_hybrid_opt_state,
+    merge_params,
+    probe_perturbations,
+    sown_ids,
+    split_params,
+    table_path_for,
+)
 from torecsys_tpu.train.state import TrainState
+from flax import traverse_util
 
 Batch = Dict[str, jnp.ndarray]
 
@@ -105,7 +115,7 @@ def make_train_step(pipeline: Pipeline) -> Callable[[TrainState, Batch], Tuple[T
             loss = loss + regularizer(params)
         return loss, new_stats
 
-    def train_step(state: TrainState, batch: Batch):
+    def dense_train_step(state: TrainState, batch: Batch):
         step_rng = jax.random.fold_in(state.rng, state.step)
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, state, batch, step_rng
@@ -122,6 +132,103 @@ def make_train_step(pipeline: Pipeline) -> Callable[[TrainState, Batch], Tuple[T
             loss_count=state.loss_count + 1.0,
         )
         return new_state, {"loss": loss}
+
+    def sparse_train_step(state: TrainState, batch: Batch):
+        """CTR step with touched-rows-only embedding updates (train.sparse).
+
+        Gradients are taken w.r.t. (dense params, per-slot lookup
+        perturbations); the embedding tables never receive a dense ``(V, E)``
+        cotangent.  Each table's slot grads are dedup/segment-summed by row id
+        and applied by the pipeline's row-wise optimizer; dense params go
+        through the configured optax transform.
+        """
+        row_tx = pipeline.row_optimizer()
+        if row_tx is None:
+            raise ValueError(
+                "TrainState has hybrid (sparse) optimizer state but the "
+                "pipeline's optimizer has no row-wise formulation"
+            )
+        step_rng = jax.random.fold_in(state.rng, state.step)
+        rngs = {"dropout": jax.random.fold_in(step_rng, 1)}
+        features, targets = _split_batch(batch, pipeline)
+
+        pert_shapes = probe_perturbations(seq, state.params, features)
+        table_paths = {table_path_for(p) for p in pert_shapes}
+        dense_params, tables = split_params(state.params, table_paths)
+        pert_zeros = {p: jnp.zeros(s.shape, s.dtype) for p, s in pert_shapes.items()}
+
+        def sparse_loss_fn(dense_flat, pert_flat):
+            params = merge_params(dense_flat, tables)
+            variables = {
+                "params": params,
+                "perturbations": traverse_util.unflatten_dict(pert_flat, sep="/"),
+            }
+            mutable = ["lookup_ids"]
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+                mutable.append("batch_stats")
+            # The context is read at trace time by the input modules; entering
+            # it here makes the sparse step self-contained (correct regardless
+            # of the caller's contexts — Trainer, bench, or __graft_entry__).
+            with use_sparse_embedding_grads():
+                preds, mut = seq.apply(
+                    variables, features, training=True, rngs=rngs, mutable=mutable
+                )
+            loss = criterion(preds, targets)
+            if regularizer is not None:
+                # key_filter='kernel' params are all dense; tables are
+                # (correctly) outside the differentiated set here.
+                loss = loss + regularizer(params)
+            return loss, (mut.get("batch_stats", state.batch_stats), mut)
+
+        (loss, (new_stats, mut)), (dense_g, pert_g) = jax.value_and_grad(
+            sparse_loss_fn, argnums=(0, 1), has_aux=True
+        )(dense_params, pert_zeros)
+
+        updates, new_dense_opt = tx.update(
+            dense_g, state.opt_state["dense"], dense_params
+        )
+        new_dense = optax.apply_updates(dense_params, updates)
+
+        new_tables = {}
+        new_sparse_opt = {}
+        for pert_path, g in pert_g.items():
+            tp = table_path_for(pert_path)
+            table = tables[tp]
+            e = g.shape[-1]
+            ids = sown_ids(mut, pert_path).reshape(-1)
+            # Dedup + update in the packed stored-row space: every touched-row
+            # access is a full-lane-width (>=128) transaction (see
+            # ops.sparse.dedup_sum_stored for the rationale/semantics).
+            pack = table.shape[-1] // e
+            uids, gsum = dedup_sum_stored(
+                ids, g.reshape(-1, e), pack, table.size // (pack * e)
+            )
+            new_tables[tp], new_sparse_opt[tp] = row_tx.update(
+                table, state.opt_state["sparse"][tp], uids, gsum, state.step
+            )
+
+        new_state = state.replace(
+            params=merge_params(new_dense, new_tables),
+            batch_stats=new_stats,
+            opt_state={"dense": new_dense_opt, "sparse": new_sparse_opt},
+            step=state.step + 1,
+            loss_sum=state.loss_sum + loss,
+            loss_count=state.loss_count + 1.0,
+        )
+        return new_state, {"loss": loss}
+
+    def train_step(state: TrainState, batch: Batch):
+        # Trace-time dispatch: the state's optimizer-state layout (chosen at
+        # TrainState.create) selects the dense or hybrid-sparse step.
+        if is_hybrid_opt_state(state.opt_state):
+            if objective != "ctr":
+                raise ValueError(
+                    "sparse embedding optimization currently supports the "
+                    f"'ctr' objective only, got {objective!r}"
+                )
+            return sparse_train_step(state, batch)
+        return dense_train_step(state, batch)
 
     return train_step
 

@@ -25,11 +25,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import contextlib
+
 from torecsys_tpu.metrics import StreamingAUC, StreamingLogLoss
+from torecsys_tpu.ops.sparse import use_sparse_embedding_grads
 from torecsys_tpu.parallel.lookup import use_sharded_lookup
 from torecsys_tpu.parallel.sharding import shard_batch, shard_params
 from torecsys_tpu.train.checkpoint import save_checkpoint
 from torecsys_tpu.train.pipeline import Pipeline
+from torecsys_tpu.train.sparse import sparse_table_paths
 from torecsys_tpu.train.state import TrainState
 from torecsys_tpu.train.steps import (
     make_eval_metrics_step,
@@ -118,11 +122,34 @@ class Trainer:
             lambda rngs, b: self.pipeline.sequential.init(rngs, b, training=False)
         )
         variables = init_fn({"params": init_rng, "dropout": init_rng}, batch)
-        state = TrainState.create(variables, self.pipeline.optimizer, state_rng)
+        row_tx = self.pipeline.row_optimizer()
+        paths = None
+        if row_tx is not None:
+            paths = sparse_table_paths(
+                self.pipeline.sequential, variables["params"], batch
+            )
+        state = TrainState.create(
+            variables,
+            self.pipeline.optimizer,
+            state_rng,
+            row_tx=row_tx,
+            sparse_table_paths=paths,
+        )
+        self._sparse = bool(paths)
         if self.mesh is not None:
             state = state.replace(params=shard_params(state.params, self.mesh))
         self.state = state
         return state
+
+    def _trace_contexts(self):
+        """Contexts that must be active while the train step is jit-traced:
+        the sharded-lookup route (mesh) and the sparse-gradient route."""
+        ctx = contextlib.ExitStack()
+        if self.mesh is not None:
+            ctx.enter_context(use_sharded_lookup(self.mesh))
+        if getattr(self, "_sparse", False):
+            ctx.enter_context(use_sparse_embedding_grads())
+        return ctx
 
     def _place_batch(self, batch: Dict[str, np.ndarray]):
         if self.mesh is not None:
@@ -160,12 +187,9 @@ class Trainer:
 
         def dispatch_single(batch):
             placed = self._place_batch(batch)
-            if self.mesh is not None:
-                # trace under the sharded-lookup context so embedding gathers
-                # compile to the shard_map path when a mesh is present.
-                with use_sharded_lookup(self.mesh):
-                    self.state, _ = self._train_step_fn(self.state, placed)
-            else:
+            # trace under the sharded-lookup / sparse-grads contexts so
+            # embedding gathers compile to the configured routes.
+            with self._trace_contexts():
                 self.state, _ = self._train_step_fn(self.state, placed)
             return 1
 
@@ -175,10 +199,10 @@ class Trainer:
             stacked = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
             if self.mesh is not None:
                 placed = shard_batch(stacked, self.mesh, stacked=True)
-                with use_sharded_lookup(self.mesh):
-                    self.state, _ = self._train_scan_fn(self.state, placed)
             else:
-                self.state, _ = self._train_scan_fn(self.state, stacked)
+                placed = stacked
+            with self._trace_contexts():
+                self.state, _ = self._train_scan_fn(self.state, placed)
             return len(buf)
 
         for epoch in range(max_epochs):
