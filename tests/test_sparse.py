@@ -203,7 +203,7 @@ def test_fused_kernel_matches_xla_path(np_rng, rule):
     if rule == "adam":
         tx = RowAdam(learning_rate=0.05, weight_decay=1e-3)
         slots = tx.init(table)
-        slot_list = (slots["m"], slots["v"])
+        slot_list = (slots["mv"],)
         t = (step + 1).astype(jnp.float32)
         hyper = jnp.stack([
             jnp.float32(0.05), jnp.float32(tx.b1), jnp.float32(tx.b2),
@@ -233,7 +233,8 @@ def test_fused_kernel_matches_xla_path(np_rng, rule):
     np.testing.assert_allclose(
         np.asarray(got_table), np.asarray(ref_table), rtol=2e-5, atol=2e-6
     )
-    ref_list = [ref_slots[k] for k in ("m", "v") if k in ref_slots]
+    ref_list = [ref_slots[k] for k in ("mv", "v") if k in ref_slots]
+    assert len(got_slots) == len(ref_list)
     for got, ref in zip(got_slots, ref_list):
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-6
@@ -293,12 +294,29 @@ def test_hybrid_step_matches_dense_step_exactly(optimizer, okw):
 
 def test_hybrid_state_created_only_when_supported():
     batch = full_coverage_batch()
-    tr = Trainer(make_pipeline(None, optimizer="Adam"), log_every=10_000)
+    # forced on -> hybrid regardless of size
+    tr = Trainer(make_pipeline(True, optimizer="Adam"), log_every=10_000)
     tr.init_state(batch)
     assert isinstance(tr.state.opt_state, dict) and "sparse" in tr.state.opt_state
+    # auto + tiny tables -> dense wins below the size threshold
+    tr = Trainer(make_pipeline(None, optimizer="Adam"), log_every=10_000)
+    tr.init_state(batch)
+    assert not isinstance(tr.state.opt_state, dict)
+    # auto + big tables -> sparse (threshold is on total table elements)
+    import torecsys_tpu.train.trainer as trmod
+    orig = trmod.SPARSE_AUTO_MIN_ELEMENTS
+    trmod.SPARSE_AUTO_MIN_ELEMENTS = 1
+    try:
+        tr = Trainer(make_pipeline(None, optimizer="Adam"), log_every=10_000)
+        tr.init_state(batch)
+        assert isinstance(tr.state.opt_state, dict)
+    finally:
+        trmod.SPARSE_AUTO_MIN_ELEMENTS = orig
+    # unsupported optimizer -> dense
     tr = Trainer(make_pipeline(None, optimizer="Lion", lr=1e-4), log_every=10_000)
     tr.init_state(batch)
     assert not isinstance(tr.state.opt_state, dict)
+    # forced off -> dense
     tr = Trainer(make_pipeline(False, optimizer="Adam"), log_every=10_000)
     tr.init_state(batch)
     assert not isinstance(tr.state.opt_state, dict)

@@ -14,8 +14,9 @@ zero extra HBM copies of multi-GB state.
 
 Supported row-wise rules (selected by which slot arrays are passed):
 
-* Adam/AdamW: slots ``(m, v)``; global-step bias correction; optional
-  decoupled weight decay.
+* Adam/AdamW: one fused slot ``(mv,)`` of shape ``(R, 2, W)`` (m ‖ v per
+  stored row — halves the per-row DMA count); global-step bias correction;
+  optional decoupled weight decay.
 * Adagrad:    slot ``(v,)``.
 * SGD:        no slots.
 
@@ -35,8 +36,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 512     # unique rows per grid program
-WINDOW = 8     # concurrent row DMAs in flight per phase
+TILE = 256     # unique rows per grid program
+WINDOW = 16    # concurrent row DMAs in flight per phase
+UNROLL = 8     # partial unroll of the DMA loop (scalar-core loop overhead
+               # dominates otherwise; full unroll explodes compile time)
 
 
 def _make_kernel(num_slots: int, rule: str):
@@ -50,27 +53,33 @@ def _make_kernel(num_slots: int, rule: str):
     scalar-prefetched f32 vector (lr, b1, b2, eps, wd, bc1, bc2).
     """
 
-    def kernel(uids_ref, hyper_ref, gsum_ref, *refs):
+    def kernel(uids_ref, nvalid_ref, hyper_ref, gsum_ref, *refs):
         hbm_in = refs[: 1 + num_slots]
         hbm_out = refs[1 + num_slots : 2 * (1 + num_slots)]
         scratch = refs[2 * (1 + num_slots) : 3 * (1 + num_slots)]
         sems = refs[-1]
         num_rows = hbm_in[0].shape[0]
         base = pl.program_id(0) * TILE
+        # rows in THIS tile that are real (uids is sorted with all sentinel
+        # padding at the tail, so validity is a prefix): bounds the DMA loops
+        # dynamically — sentinel tails cost zero scalar-loop iterations.
+        n_here = jnp.clip(nvalid_ref[0] - base, 0, TILE)
 
         n_arr = 1 + num_slots
 
         def read_dma(a, i):
+            # full-trailing-dims row slice: works for (R, W) tables and
+            # (R, 2, W) fused mv slots alike
             return pltpu.make_async_copy(
-                hbm_in[a].at[pl.ds(uids_ref[base + i], 1), :],
-                scratch[a].at[pl.ds(i, 1), :],
+                hbm_in[a].at[pl.ds(uids_ref[base + i], 1)],
+                scratch[a].at[pl.ds(i, 1)],
                 sems.at[a, i % WINDOW],
             )
 
         def write_dma(a, i):
             return pltpu.make_async_copy(
-                scratch[a].at[pl.ds(i, 1), :],
-                hbm_out[a].at[pl.ds(uids_ref[base + i], 1), :],
+                scratch[a].at[pl.ds(i, 1)],
+                hbm_out[a].at[pl.ds(uids_ref[base + i], 1)],
                 sems.at[a, i % WINDOW],
             )
 
@@ -78,20 +87,32 @@ def _make_kernel(num_slots: int, rule: str):
             # start(i) and wait(i) share the same sentinel predicate, so the
             # per-slot semaphore rotation stays balanced: a skipped row skips
             # both sides and its slot is simply free for row i + WINDOW.
-            def body(i, _):
-                @pl.when(jnp.logical_and(i < TILE, uids_ref[base + jnp.minimum(i, TILE - 1)] < num_rows))
+            # Manually partially-unrolled (UNROLL rows per fori_loop step):
+            # Mosaic supports only unroll=1/full, and the scalar-core loop
+            # control otherwise dominates the kernel.
+            def step(i):
+                @pl.when(jnp.logical_and(
+                    i < TILE,
+                    uids_ref[base + jnp.minimum(i, TILE - 1)] < num_rows,
+                ))
                 def _():
                     for a in range(n_arr):
                         dma_fn(a, i).start()
 
-                @pl.when(jnp.logical_and(i >= WINDOW, uids_ref[base + i - WINDOW] < num_rows))
+                @pl.when(jnp.logical_and(
+                    i >= WINDOW, uids_ref[base + i - WINDOW] < num_rows
+                ))
                 def _():
                     for a in range(n_arr):
                         dma_fn(a, i - WINDOW).wait()
 
+            def body(c, _):
+                for u in range(UNROLL):
+                    step(c * UNROLL + u)
                 return 0
 
-            jax.lax.fori_loop(0, TILE + WINDOW, body, 0, unroll=True)
+            n_chunks = (n_here + WINDOW + UNROLL - 1) // UNROLL
+            jax.lax.fori_loop(0, n_chunks, body, 0)
 
         # ---- phase 1: stream current rows HBM -> VMEM scratch -------------
         phase(read_dma)
@@ -105,15 +126,16 @@ def _make_kernel(num_slots: int, rule: str):
         bc1 = hyper_ref[5]  # 1 / (1 - b1^t)
         bc2 = hyper_ref[6]  # 1 / (1 - b2^t)
         g = gsum_ref[:]
+        w = g.shape[1]
         row = scratch[0][:]
         if rule == "adam":
-            m_new = b1 * scratch[1][:] + (1.0 - b1) * g
-            v_new = b2 * scratch[2][:] + (1.0 - b2) * g * g
+            # slot array is the fused (TILE, 2, W) mv scratch: [:,0]=m, [:,1]=v
+            m_new = b1 * scratch[1][:, 0, :] + (1.0 - b1) * g
+            v_new = b2 * scratch[1][:, 1, :] + (1.0 - b2) * g * g
             upd = lr * ((m_new * bc1) / (jnp.sqrt(v_new * bc2) + eps))
-            if True:  # decoupled weight decay folds to 0 when wd == 0
-                upd = upd + lr * wd * row
-            scratch[1][:] = m_new
-            scratch[2][:] = v_new
+            upd = upd + lr * wd * row  # decoupled wd; folds to 0 when wd == 0
+            scratch[1][:, 0, :] = m_new
+            scratch[1][:, 1, :] = v_new
         elif rule == "adagrad":
             v_new = scratch[1][:] + g * g
             upd = lr * g * jax.lax.rsqrt(v_new + eps)
@@ -141,20 +163,24 @@ def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
     n_arr = 1 + len(slots)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # uids, hyper
+        num_scalar_prefetch=3,  # uids, n_valid, hyper
         grid=(padded // TILE,),
         in_specs=[
-            pl.BlockSpec((TILE, w), lambda i, uids, hyper: (i, 0),
+            pl.BlockSpec((TILE, w), lambda i, uids, nv, hyper: (i, 0),
                          memory_space=pltpu.VMEM),      # gsum block
         ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_arr,  # table + slots
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
-        scratch_shapes=[pltpu.VMEM((TILE, w), table.dtype)] * n_arr
+        # per-array scratch matches each array's own per-row shape (the
+        # fused adam mv slot is (2, W))
+        scratch_shapes=[pltpu.VMEM((TILE, *a.shape[1:]), a.dtype)
+                        for a in (table, *slots)]
         + [pltpu.SemaphoreType.DMA((n_arr, WINDOW))],
     )
-    out_shapes = [jax.ShapeDtypeStruct(table.shape, table.dtype)] * n_arr
-    # inputs (flattened order): uids, hyper, gsum, table, *slots
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (table, *slots)]
+    n_valid = jnp.sum(uids < table.shape[0], dtype=jnp.int32).reshape(1)
+    # inputs (flattened order): uids, n_valid, hyper, gsum, table, *slots
     # alias table->out0, slots->out1..  (in-place update of multi-GB state)
-    aliases = {3 + a: a for a in range(n_arr)}
+    aliases = {4 + a: a for a in range(n_arr)}
     outs = pl.pallas_call(
         _make_kernel(len(slots), rule),
         grid_spec=grid_spec,
@@ -169,7 +195,7 @@ def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
             bytes_accessed=2 * n_arr * padded * w * table.dtype.itemsize,
             transcendentals=0,
         ),
-    )(uids.astype(jnp.int32), hyper, gsum, table, *slots)
+    )(uids.astype(jnp.int32), n_valid, hyper, gsum, table, *slots)
     return outs[0], list(outs[1:])
 
 
@@ -189,8 +215,8 @@ def fused_rowwise_update(
             out-of-range sentinels (``dedup_sum`` contract).
         gsum: ``(M, W)`` summed gradients per unique row (zeros on padding).
         table: ``(R, W)`` stored table, W % 128 == 0.
-        slots: optimizer slot arrays, each ``(R, W)`` — (m, v) for adam,
-            (v,) for adagrad, () for sgd.
+        slots: optimizer slot arrays — (mv,) of shape ``(R, 2, W)`` for
+            adam, (v,) of ``(R, W)`` for adagrad, () for sgd.
         hyper: ``(7,)`` f32: lr, b1, b2, eps, weight_decay, 1/(1-b1^t),
             1/(1-b2^t) (unused entries ignored per rule).
         rule: 'adam' | 'adagrad' | 'sgd'.

@@ -44,6 +44,11 @@ from torecsys_tpu.train.steps import (
 
 logger = logging.getLogger(__name__)
 
+# Auto-sparse threshold: total embedding-table elements (~64M = 4M logical
+# rows at E=16 = 256MB f32) above which the touched-rows-only optimizer
+# beats dense updates; see Trainer.init_state and SPEED.md.
+SPARSE_AUTO_MIN_ELEMENTS = 1 << 26
+
 
 class Trainer:
     """Fits a :class:`Pipeline` on host-side batch iterables.
@@ -128,6 +133,17 @@ class Trainer:
             paths = sparse_table_paths(
                 self.pipeline.sequential, variables["params"], batch
             )
+            if self.pipeline.sparse_embeddings is None and paths:
+                # Auto mode: the lazy path has a ~fixed per-step cost (dedup +
+                # touched-row kernel) while dense optimizer cost grows with
+                # table size; measured crossover on v5e is ~5M logical rows
+                # (DeepFM, E=16, batch 4096). Below the threshold dense wins.
+                from flax import traverse_util
+
+                flat = traverse_util.flatten_dict(variables["params"], sep="/")
+                total_elems = sum(flat[p].size for p in paths)
+                if total_elems < SPARSE_AUTO_MIN_ELEMENTS:
+                    row_tx, paths = None, None
         state = TrainState.create(
             variables,
             self.pipeline.optimizer,
