@@ -74,7 +74,6 @@ def test_checkpoint_roundtrip(data, tmp_path):
     tr2.init_state(next(loader(data, 0, 2048)()))
     restored = restore_checkpoint(path, tr2.state)
     assert int(restored.step) == int(tr.state.step)
-    a = np.asarray(tr.state.params["model"]["fm"] if "fm" in str(tr.state.params) else 0)
     flat1 = np.concatenate([np.ravel(x) for x in
                             __import__("jax").tree_util.tree_leaves(tr.state.params)])
     flat2 = np.concatenate([np.ravel(x) for x in

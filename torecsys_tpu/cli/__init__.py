@@ -4,9 +4,17 @@ Parity: ``/root/reference/torecsys/cli/__init__.py:20-126`` — a click group
 with ``version`` and ``build`` commands where ``build`` parses JSON config
 strings and assembles a pipeline (the reference's ``build`` only builds and
 prints a summary; it never calls ``fit``, ``cli/__init__.py:73-120``).
-Additions: a ``train`` command that actually runs ``Trainer.fit`` on the
-bundled synthetic CTR data or a CSV, because a CLI that cannot train is a
-demo, not a tool.
+
+Additions beyond the reference (a CLI that cannot train is a demo, not a
+tool):
+
+* ``train``    — end-to-end ``Trainer.fit`` on the bundled synthetic CTR data
+  OR a real file (``--train_file``): a headered CSV, or a Criteo DAC
+  39-column TSV parsed by the native C++ parser.  Honors ``--load_from`` and
+  auto-resume from ``--checkpoint_dir``; ``--data_parallel/--table_parallel``
+  build a device mesh.
+* ``evaluate`` — restore a checkpoint and compute AUC/logloss on a file or
+  the synthetic holdout.
 """
 
 from __future__ import annotations
@@ -81,48 +89,166 @@ def _build_inputs(cfg: dict):
     return inputs_mod.Inputs(schema=schema)
 
 
+def _load_table(path: str, data_format: str, target_fields: str,
+                criteo_hash_size: int):
+    """File → column dict ``{name: np.ndarray}`` with CTR-ready columns.
+
+    ``criteo``: 39-column DAC TSV through the native parser (hashed cats,
+    log1p dense) expanded to ``cat_{i}`` / ``dense_{j}`` / ``label`` columns.
+    ``csv``: headered CSV; integer columns (except the target) are treated as
+    categorical, float columns as dense.
+    """
+    import numpy as np
+
+    if data_format == "auto":
+        data_format = "criteo" if path.endswith((".tsv", ".txt")) else "csv"
+    if data_format == "criteo":
+        from torecsys_tpu.data import load_criteo_batches
+        from torecsys_tpu.data.native import NUM_CATS
+
+        arrays = load_criteo_batches(path, hash_sizes=(criteo_hash_size,) * NUM_CATS)
+        out = {"label": arrays["label"]}
+        for j in range(arrays["dense"].shape[1]):
+            out[f"dense_{j}"] = arrays["dense"][:, j]
+        for i in range(arrays["cats"].shape[1]):
+            out[f"cat_{i}"] = arrays["cats"][:, i]
+        if target_fields != "label":
+            out[target_fields] = out.pop("label")
+        return out
+    if data_format == "csv":
+        import pandas as pd
+
+        df = pd.read_csv(path)
+        if target_fields not in df.columns:
+            raise click.UsageError(
+                f"--target_fields {target_fields!r} not in CSV columns "
+                f"{list(df.columns)}"
+            )
+        out = {}
+        for col in df.columns:
+            v = df[col].to_numpy()
+            if col == target_fields:
+                out[col] = v.astype(np.float32)
+            elif np.issubdtype(v.dtype, np.integer):
+                out[col] = v.astype(np.int32)
+            else:
+                out[col] = v.astype(np.float32)
+        return out
+    raise click.UsageError(f"unknown --data_format {data_format!r}")
+
+
+def _default_inputs(data, target_fields: str, embed_size: int):
+    """Infer the default schema from a column dict: int columns → one fused
+    ``MultiIndicesEmbedding``, float columns → ``ValueInput``."""
+    import numpy as np
+
+    from torecsys_tpu.inputs import Inputs, MultiIndicesEmbedding, ValueInput
+
+    cat_fields = tuple(sorted(
+        k for k, v in data.items()
+        if k != target_fields and np.issubdtype(v.dtype, np.integer)
+    ))
+    dense_fields = tuple(sorted(
+        k for k, v in data.items()
+        if k != target_fields and not np.issubdtype(v.dtype, np.integer)
+    ))
+    field_sizes = tuple(int(data[f].max()) + 1 for f in cat_fields)
+    schema = {}
+    if dense_fields:
+        schema["feat_inputs"] = ValueInput(fields=dense_fields)
+    if cat_fields:
+        schema["emb_inputs"] = MultiIndicesEmbedding(
+            embed_size=embed_size, field_sizes=field_sizes, fields=cat_fields
+        )
+    return Inputs(schema=schema)
+
+
+def _batch_loader(data, lo: int, hi: int, batch_size: int, shuffle: bool, seed: int = 0):
+    import numpy as np
+
+    idx = np.arange(lo, hi)
+
+    def gen():
+        order = np.random.default_rng(seed).permutation(idx) if shuffle else idx
+        stop = len(order) - (len(order) % batch_size)
+        for s in range(0, stop, batch_size):
+            sel = order[s:s + batch_size]
+            yield {k: v[sel] for k, v in data.items()}
+
+    return gen
+
+
+def _make_mesh(data_parallel: int, table_parallel: int):
+    if data_parallel <= 1 and table_parallel <= 1:
+        return None
+    from torecsys_tpu.parallel import make_mesh
+
+    return make_mesh(data=data_parallel, table=table_parallel)
+
+
+_shared_data_options = [
+    click.option("--target_fields", default="label"),
+    click.option("--batch_size", default=1024, type=int),
+    click.option("--embed_size", default=16, type=int),
+    click.option("--data_format", default="auto",
+                 help="auto | criteo (39-col DAC TSV) | csv (headered)"),
+    click.option("--criteo_hash_size", default=100_000, type=int,
+                 help="per-field hash-bucket count for criteo cats"),
+]
+
+
+def _with_options(opts):
+    def deco(f):
+        for o in reversed(opts):
+            f = o(f)
+        return f
+    return deco
+
+
 @cli.command()
 @click.option("--model_config", required=True, help='JSON, e.g. \'{"method":"DeepFM"}\'')
 @click.option("--inputs_config", default=None,
-              help="JSON inputs config; default = synthetic-CTR schema")
+              help="JSON inputs config; default = schema inferred from data")
 @click.option("--criterion_config", default=None)
 @click.option("--optimizer_config", default=None)
 @click.option("--regularizer_config", default=None)
-@click.option("--target_fields", default="label")
-@click.option("--batch_size", default=1024, type=int)
+@click.option("--train_file", default=None, type=click.Path(exists=True),
+              help="CSV or Criteo TSV; omitted = bundled synthetic CTR data")
+@click.option("--val_file", default=None, type=click.Path(exists=True))
 @click.option("--max_num_epochs", default=1, type=int)
 @click.option("--max_num_iterations", default=None, type=int)
 @click.option("--num_rows", default=100_000, type=int, help="synthetic dataset size")
-@click.option("--embed_size", default=16, type=int)
 @click.option("--checkpoint_dir", default=None)
+@click.option("--load_from", default=None, type=click.Path(),
+              help="explicit checkpoint to restore before training")
+@click.option("--resume/--no-resume", default=True,
+              help="auto-resume from the newest checkpoint in --checkpoint_dir")
+@click.option("--data_parallel", default=1, type=int, help="mesh data axis size")
+@click.option("--table_parallel", default=1, type=int, help="mesh table axis size")
+@click.option("--steps_per_execution", default=1, type=int)
+@_with_options(_shared_data_options)
 def train(model_config, inputs_config, criterion_config, optimizer_config,
-          regularizer_config, target_fields, batch_size, max_num_epochs,
-          max_num_iterations, num_rows, embed_size, checkpoint_dir):
-    """Train a model end-to-end on the bundled synthetic CTR data."""
+          regularizer_config, train_file, val_file, max_num_epochs,
+          max_num_iterations, num_rows, checkpoint_dir, load_from, resume,
+          data_parallel, table_parallel, steps_per_execution, target_fields,
+          batch_size, embed_size, data_format, criteo_hash_size):
+    """Train end-to-end: synthetic CTR data or a real file (CSV/Criteo TSV)."""
     import logging
-
-    import numpy as np
-
-    from torecsys_tpu.data import make_synthetic_ctr
-    from torecsys_tpu.inputs import Inputs, MultiIndicesEmbedding, ValueInput
 
     logging.basicConfig(level=logging.INFO, stream=sys.stderr,
                         format="%(asctime)s %(message)s")
 
-    data = make_synthetic_ctr(num_rows=num_rows)
-    cat_fields = tuple(sorted(k for k in data if k.startswith("cat_")))
-    dense_fields = tuple(sorted(k for k in data if k.startswith("dense_")))
-    field_sizes = tuple(int(data[f].max()) + 1 for f in cat_fields)
+    if train_file:
+        data = _load_table(train_file, data_format, target_fields, criteo_hash_size)
+    else:
+        from torecsys_tpu.data import make_synthetic_ctr
+
+        data = make_synthetic_ctr(num_rows=num_rows)
 
     if inputs_config:
         inputs = _build_inputs(_parse(inputs_config))
     else:
-        inputs = Inputs(schema={
-            "feat_inputs": ValueInput(fields=dense_fields),
-            "emb_inputs": MultiIndicesEmbedding(
-                embed_size=embed_size, field_sizes=field_sizes, fields=cat_fields
-            ),
-        })
+        inputs = _default_inputs(data, target_fields, embed_size)
 
     pipeline = torecsys_tpu.train.Pipeline.build(
         objective="ctr",
@@ -132,28 +258,86 @@ def train(model_config, inputs_config, criterion_config, optimizer_config,
         optimizer_config=_parse(optimizer_config),
         regularizer_config=_parse(regularizer_config),
         target_fields=target_fields,
+        load_from=load_from,
     )
     click.echo(pipeline.summary())
 
-    n = num_rows
-    split = int(n * 0.9)
-    def loader(lo, hi, shuffle):
-        idx = np.arange(lo, hi)
-        def gen():
-            order = np.random.default_rng(0).permutation(idx) if shuffle else idx
-            stop = len(order) - (len(order) % batch_size)
-            for s in range(0, stop, batch_size):
-                sel = order[s:s + batch_size]
-                yield {k: v[sel] for k, v in data.items()}
-        return gen
+    n = len(next(iter(data.values())))
+    if val_file:
+        val_data = _load_table(val_file, data_format, target_fields, criteo_hash_size)
+        train_loader = _batch_loader(data, 0, n, batch_size, True)
+        nv = len(next(iter(val_data.values())))
+        val_loader = _batch_loader(val_data, 0, nv, batch_size, False)
+    else:
+        split = max(int(n * 0.9), 1)
+        train_loader = _batch_loader(data, 0, split, batch_size, True)
+        val_loader = _batch_loader(data, split, n, batch_size, False) if split < n else None
 
-    trainer = torecsys_tpu.train.Trainer(pipeline, checkpoint_dir=checkpoint_dir)
+    trainer = torecsys_tpu.train.Trainer(
+        pipeline,
+        mesh=_make_mesh(data_parallel, table_parallel),
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+        steps_per_execution=steps_per_execution,
+    )
     metrics = trainer.fit(
-        loader(0, split, True),
-        val_loader=loader(split, n, False),
+        train_loader,
+        val_loader=val_loader,
         max_epochs=max_num_epochs,
         max_steps=max_num_iterations,
     )
+    click.echo(json.dumps(metrics))
+
+
+@cli.command()
+@click.option("--model_config", required=True)
+@click.option("--inputs_config", default=None)
+@click.option("--optimizer_config", default=None,
+              help="must match the checkpoint's optimizer (state layout)")
+@click.option("--load_from", required=True, type=click.Path(exists=True),
+              help="checkpoint to evaluate")
+@click.option("--eval_file", default=None, type=click.Path(exists=True))
+@click.option("--num_rows", default=100_000, type=int,
+              help="synthetic dataset size when --eval_file is omitted")
+@_with_options(_shared_data_options)
+def evaluate(model_config, inputs_config, optimizer_config, load_from,
+             eval_file, num_rows, target_fields, batch_size, embed_size,
+             data_format, criteo_hash_size):
+    """Restore a checkpoint and print AUC/logloss on a file (or the
+    synthetic holdout)."""
+    import logging
+
+    logging.basicConfig(level=logging.INFO, stream=sys.stderr,
+                        format="%(asctime)s %(message)s")
+
+    if eval_file:
+        data = _load_table(eval_file, data_format, target_fields, criteo_hash_size)
+        lo = 0
+    else:
+        from torecsys_tpu.data import make_synthetic_ctr
+
+        data = make_synthetic_ctr(num_rows=num_rows)
+        lo = int(num_rows * 0.9)  # the holdout the train command leaves out
+
+    if inputs_config:
+        inputs = _build_inputs(_parse(inputs_config))
+    else:
+        inputs = _default_inputs(data, target_fields, embed_size)
+
+    pipeline = torecsys_tpu.train.Pipeline.build(
+        objective="ctr",
+        inputs_config=inputs,
+        model_config=_parse(model_config),
+        optimizer_config=_parse(optimizer_config),
+        target_fields=target_fields,
+        load_from=load_from,
+    )
+    n = len(next(iter(data.values())))
+    loader = _batch_loader(data, lo, n, batch_size, False)
+
+    trainer = torecsys_tpu.train.Trainer(pipeline, resume=False, load_from=load_from)
+    trainer.init_state(next(loader()))
+    metrics = trainer.evaluate(loader)
     click.echo(json.dumps(metrics))
 
 

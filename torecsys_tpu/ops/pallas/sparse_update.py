@@ -99,8 +99,13 @@ def _make_kernel(num_slots: int, rule: str):
                     for a in range(n_arr):
                         dma_fn(a, i).start()
 
+                # The index is clamped to 0 so it is in-bounds even when the
+                # i >= WINDOW conjunct is False (predicates evaluate both
+                # operands; an unclamped base+i-WINDOW would read SMEM out of
+                # bounds on the first WINDOW steps).
                 @pl.when(jnp.logical_and(
-                    i >= WINDOW, uids_ref[base + i - WINDOW] < num_rows
+                    i >= WINDOW,
+                    uids_ref[base + jnp.maximum(i - WINDOW, 0)] < num_rows,
                 ))
                 def _():
                     for a in range(n_arr):
@@ -162,9 +167,25 @@ def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
     w = table.shape[1]
     n_arr = 1 + len(slots)
 
+    n_valid = jnp.sum(uids < table.shape[0], dtype=jnp.int32).reshape(1)
+    # DYNAMIC grid bound: uids is sentinel-padded with all valid entries in a
+    # prefix (dedup contract), so only ceil(n_valid/TILE) tiles hold work.
+    # The static bound is the batch's slot count (~100k positions -> 400+
+    # tiles) while the real unique-row count is often 10-50x smaller; a
+    # static grid paid fixed per-program overhead AND streamed the whole
+    # (M, W) gsum through VMEM for tiles that are 100% sentinel (measured
+    # 2.96 ms for 7.5k unique rows at 500k-row scale — ~15x this kernel's
+    # useful DMA time).  Mosaic supports traced grid sizes; sentinel tiles
+    # now simply never run.
+    # (interpret mode can't run a traced trip count — fall back static there)
+    if interpret:
+        n_tiles = padded // TILE
+    else:
+        n_tiles = jnp.maximum((n_valid[0] + TILE - 1) // TILE, 1)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # uids, n_valid, hyper
-        grid=(padded // TILE,),
+        grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((TILE, w), lambda i, uids, nv, hyper: (i, 0),
                          memory_space=pltpu.VMEM),      # gsum block
@@ -177,7 +198,6 @@ def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
         + [pltpu.SemaphoreType.DMA((n_arr, WINDOW))],
     )
     out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (table, *slots)]
-    n_valid = jnp.sum(uids < table.shape[0], dtype=jnp.int32).reshape(1)
     # inputs (flattened order): uids, n_valid, hyper, gsum, table, *slots
     # alias table->out0, slots->out1..  (in-place update of multi-GB state)
     aliases = {4 + a: a for a in range(n_arr)}

@@ -61,6 +61,28 @@ def use_sparse_embedding_grads():
         _state.on = prev
 
 
+def prefix_sum(x: jnp.ndarray, block: int = 512) -> jnp.ndarray:
+    """Inclusive prefix sum of a 1-D array, TPU-compile-friendly.
+
+    ``jnp.cumsum`` over a ~100k-element axis lowers to a reduce-window whose
+    XLA TPU compile blows up (measured: >5 min for M=106496 — it dominates
+    every jit that embeds it).  Two-level formulation: cumsum within
+    ``block``-sized rows, then cumsum of the row totals, then broadcast-add —
+    both windows are small, compile is seconds, runtime is two streaming
+    passes.
+    """
+    m = x.shape[0]
+    pad = (-m) % block
+    xp = jnp.pad(x, (0, pad)) if pad else x
+    rows = xp.reshape(-1, block)
+    within = jnp.cumsum(rows, axis=1)
+    carry = jnp.concatenate(
+        [jnp.zeros((1,), x.dtype), jnp.cumsum(within[:-1, -1])]
+    )
+    out = (within + carry[:, None]).reshape(-1)
+    return out[:m] if pad else out
+
+
 def dedup_sum(ids: jnp.ndarray, grads: jnp.ndarray, num_rows: int):
     """Combine duplicate-id gradients: ``(M,) ids, (M, E) grads → (M,), (M, E)``.
 
@@ -78,7 +100,7 @@ def dedup_sum(ids: jnp.ndarray, grads: jnp.ndarray, num_rows: int):
     is_first = jnp.concatenate(
         [jnp.ones((1,), dtype=bool), sorted_ids[1:] != sorted_ids[:-1]]
     )
-    seg = jnp.cumsum(is_first.astype(jnp.int32)) - 1  # segment per position
+    seg = prefix_sum(is_first.astype(jnp.int32)) - 1  # segment per position
     gsum = jax.ops.segment_sum(g_sorted, seg, num_segments=m)
     uids = jax.ops.segment_max(sorted_ids, seg, num_segments=m)
     n_unique = seg[-1] + 1
@@ -114,6 +136,71 @@ def dedup_sum_stored(
     return dedup_sum(hi, wide, num_stored_rows)
 
 
+def _combine_sorted_stored(sorted_ids, g_sorted, pack, num_stored_rows):
+    """Shared tail of the dedup paths: an id-ascending ``(M,)`` stream +
+    matching ``(M, E)`` grads → compact ``(M,) unique stored-row ids`` +
+    ``(M, P*E)`` wide summed grads.
+
+    The wide gradient is built by ONE narrow scatter-add into a compact
+    ``(M, P, E)`` buffer at ``[segment, in-row slot]`` — no ``(M, P*E)``
+    one-hot einsum and no 128-lane-wide segment ops (those two dominated the
+    measured v5e dedup cost at Criteo shapes; see SPEED.md).
+    """
+    m, e = g_sorted.shape
+    sorted_ids = sorted_ids.astype(jnp.int32)
+    hi = sorted_ids // pack
+    lo = sorted_ids % pack
+    is_first = jnp.concatenate([jnp.ones((1,), bool), hi[1:] != hi[:-1]])
+    seg = prefix_sum(is_first.astype(jnp.int32)) - 1
+    # All writers of uids[s] carry the same value (hi is constant within a
+    # segment), so plain scatter-set is deterministic here.
+    uids = jnp.full((m,), num_stored_rows, jnp.int32).at[seg].set(
+        hi, indices_are_sorted=True
+    )
+    if pack == 1:
+        gsum = jax.ops.segment_sum(
+            g_sorted, seg, num_segments=m, indices_are_sorted=True
+        )
+        return uids, gsum
+    gsum = (
+        jnp.zeros((m, pack, e), g_sorted.dtype)
+        .at[seg, lo]
+        .add(g_sorted, indices_are_sorted=True)
+        .reshape(m, pack * e)
+    )
+    return uids, gsum
+
+
+def dedup_sum_fields(
+    ids: jnp.ndarray, grads: jnp.ndarray, pack: int, num_stored_rows: int
+):
+    """Structured dedup for per-field-offset lookups: ``(B, K) ids,
+    (B, K, E) grads → (B*K,) unique stored-row ids, (B*K, P*E) wide sums``.
+
+    Contract: column ``k``'s ids live in a vocab range disjoint from and
+    *below* column ``k+1``'s — exactly what the fused-table offset trick
+    guarantees (``ops.embedding.field_offsets``; reference
+    ``multi_indices_emb.py:54``).  Then a global sort is unnecessary: sorting
+    each column independently (K parallel 4096-element sorts instead of one
+    ~100k-element bitonic sort — measured ~4x cheaper on v5e) and reading out
+    column-major yields a globally id-ascending stream, which feeds the same
+    scatter-based combine as :func:`dedup_sum_stored`.
+
+    Output contract matches :func:`dedup_sum_stored` (ascending unique
+    stored-row ids, sentinel-padded; wide summed grads).
+    """
+    b, k = ids.shape
+    e = grads.shape[-1]
+    cols = jnp.transpose(ids.astype(jnp.int32))  # (K, B)
+    g_cols = jnp.transpose(grads, (1, 0, 2))  # (K, B, E)
+    pos = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32), (k, b))
+    sorted_cols, order = jax.lax.sort_key_val(cols, pos, dimension=1)
+    g_sorted = jnp.take_along_axis(g_cols, order[..., None], axis=1)
+    flat_ids = sorted_cols.reshape(-1)  # globally ascending (disjoint ranges)
+    flat_g = g_sorted.reshape(-1, e)
+    return _combine_sorted_stored(flat_ids, flat_g, pack, num_stored_rows)
+
+
 def _rows(arr: jnp.ndarray, embed_size: int) -> jnp.ndarray:
     """Logical ``(rows, E)`` view of a (possibly packed / 3-D) table.
 
@@ -139,13 +226,22 @@ def _put(arr: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fused_eligible(rows_view: jnp.ndarray) -> bool:
-    """True when the fused Pallas update kernel can take this table."""
+    """True when the fused Pallas update kernel can take this table.
+
+    Sharding gate: under an active sharded-lookup mesh the tables are
+    row-sharded (``parallel.sharding``), and ``pallas_call`` has no SPMD
+    partitioning rule — GSPMD would all-gather and replicate the multi-GB
+    table/slot operands on every chip.  The XLA gather/scatter fallback
+    partitions correctly, so it wins whenever a mesh context is active.
+    """
     from torecsys_tpu.ops import pallas as _pallas
+    from torecsys_tpu.parallel import lookup as _lookup
 
     return (
         rows_view.shape[-1] % 128 == 0
         and rows_view.dtype == jnp.float32
         and _pallas.sparse_update_enabled()
+        and _lookup._context() is None
     )
 
 

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -47,11 +48,40 @@ def make_mesh(
 def initialize_distributed(**kwargs) -> None:
     """Multi-host bring-up: ``jax.distributed.initialize`` passthrough.
 
-    On a multi-host TPU pod slice call this once per host before building the
-    mesh; on single host it is a no-op if initialization fails because there
-    is no cluster environment.
+    Call once per host on a multi-host slice before building the mesh.  When
+    no cluster environment is detectable AND no explicit coordinator was
+    requested, this is a deliberate no-op (single-host run); every other
+    failure — bad coordinator address, port collision, partial cluster —
+    propagates, because silently training single-host when the user asked for
+    a cluster corrupts results (each host would train an independent copy).
     """
-    try:
-        jax.distributed.initialize(**kwargs)
-    except Exception:  # single-host / already initialized
-        pass
+    if jax.process_count() > 1 or getattr(jax.distributed, "is_initialized", lambda: False)():
+        return  # already initialized
+    explicit = bool(kwargs.get("coordinator_address"))
+    auto_env = any(
+        k in os.environ
+        for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not explicit and not auto_env:
+        return  # single-host: nothing to initialize
+    jax.distributed.initialize(**kwargs)
+
+
+def host_local_batch_to_global(
+    batch, mesh: jax.sharding.Mesh, data_axis: str = DATA_AXIS
+):
+    """Assemble per-process host-local arrays into global data-sharded arrays.
+
+    On a multi-host slice each process loads only its shard of the batch
+    (per-host file sharding); ``jax.make_array_from_process_local_data``
+    stitches the shards into one global array laid out
+    ``P(data_axis)`` — the SPMD-correct way to feed a global jitted step
+    (SURVEY.md §2.11 backend spec).  Single-process it is a plain device_put.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec(data_axis))
+    return {
+        k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        for k, v in batch.items()
+    }

@@ -37,10 +37,30 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
 
     ``template`` supplies the pytree structure (build it exactly as for a
     fresh run — same model / optimizer — then restore over it).
+
+    Note: toggling ``Pipeline.sparse_embeddings`` changes the optimizer-state
+    layout (optax namedtuples vs the hybrid ``{'dense','sparse'}`` dict), so a
+    checkpoint saved under one setting cannot restore under the other — this
+    raises with a pointer at the flag instead of a bare structure error.
     """
     with open(path, "rb") as f:
         data = f.read()
-    return flax.serialization.from_bytes(template, data)
+    try:
+        return flax.serialization.from_bytes(template, data)
+    except (KeyError, ValueError, TypeError) as e:
+        saved_hybrid = b"sparse" in data[:4096] or b"sparse" in data
+        tmpl_hybrid = (
+            isinstance(template.opt_state, dict) and "sparse" in template.opt_state
+        )
+        if saved_hybrid != tmpl_hybrid:
+            raise ValueError(
+                f"checkpoint {path!r} was saved with sparse_embeddings="
+                f"{saved_hybrid} but the pipeline is configured with "
+                f"sparse_embeddings={tmpl_hybrid}; the optimizer-state layouts "
+                "are incompatible — set Pipeline.sparse_embeddings to match "
+                "the checkpoint (or retrain)"
+            ) from e
+        raise
 
 
 def latest_checkpoint(directory: str, prefix: str = "ckpt_") -> Optional[str]:

@@ -56,6 +56,10 @@ class Pipeline:
     # (raises if unsupported); False forces the dense optax path.
     sparse_embeddings: Optional[bool] = None
     optimizer_spec: Optional[Dict[str, Any]] = None
+    # Checkpoint to restore before training (the reference's ``load_from``
+    # config key, ``torecsys_pipeline.py:897-898`` — planned there, dead
+    # there, honored here by Trainer._maybe_restore).
+    load_from: Optional[str] = None
 
     # ---- builder setters (each returns self for chaining) ---------------
 
@@ -236,4 +240,6 @@ class Pipeline:
             p.set_target_fields(config["target_fields"])
         if "sparse_embeddings" in config:
             p.set_sparse_embeddings(config["sparse_embeddings"])
+        if config.get("load_from") is not None:
+            p.load_from = config["load_from"]
         return p

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from torecsys_tpu.ops.sparse import dedup_sum_stored, use_sparse_embedding_grads
+from torecsys_tpu.ops.sparse import dedup_sum_fields, use_sparse_embedding_grads
 from torecsys_tpu.train.pipeline import Pipeline
 from torecsys_tpu.train.sparse import (
     is_hybrid_opt_state,
@@ -196,13 +196,21 @@ def make_train_step(pipeline: Pipeline) -> Callable[[TrainState, Batch], Tuple[T
             tp = table_path_for(pert_path)
             table = tables[tp]
             e = g.shape[-1]
-            ids = sown_ids(mut, pert_path).reshape(-1)
-            # Dedup + update in the packed stored-row space: every touched-row
-            # access is a full-lane-width (>=128) transaction (see
-            # ops.sparse.dedup_sum_stored for the rationale/semantics).
+            # Sown ids keep their (B, fields...) structure; every sparse-path
+            # input module (embeddings.py) emits per-field-offset ids, so the
+            # flattened field columns have disjoint ascending vocab ranges —
+            # the contract dedup_sum_fields exploits to replace one global
+            # ~100k-element sort with K parallel batch-sized sorts (see
+            # ops.sparse.dedup_sum_fields for the math and SPEED.md for the
+            # measured win).
+            ids = sown_ids(mut, pert_path)
+            b = ids.shape[0]
             pack = table.shape[-1] // e
-            uids, gsum = dedup_sum_stored(
-                ids, g.reshape(-1, e), pack, table.size // (pack * e)
+            uids, gsum = dedup_sum_fields(
+                ids.reshape(b, -1),
+                g.reshape(b, -1, e),
+                pack,
+                table.size // (pack * e),
             )
             new_tables[tp], new_sparse_opt[tp] = row_tx.update(
                 table, state.opt_state["sparse"][tp], uids, gsum, state.step

@@ -64,6 +64,13 @@ class Trainer:
             jitted ``lax.scan`` over a stacked batch). >1 amortizes host
             round-trips — essential on high-latency runtimes; any epoch-end
             remainder falls back to single-step dispatches.
+        load_from: explicit checkpoint path to restore before training (the
+            reference's planned-but-dead ``load_from`` config,
+            ``torecsys_pipeline.py:897-898``, honored for real).
+        resume: when True (default) and ``checkpoint_dir`` holds checkpoints,
+            training auto-resumes from the newest one — preemption recovery
+            (SURVEY.md §5.4) without any flag juggling.  ``load_from`` wins
+            over auto-resume when both apply.
     """
 
     def __init__(
@@ -75,6 +82,8 @@ class Trainer:
         seed: int = 0,
         profile_dir: Optional[str] = None,
         steps_per_execution: int = 1,
+        load_from: Optional[str] = None,
+        resume: bool = True,
     ):
         self.pipeline = pipeline.finalize()
         self.mesh = mesh
@@ -83,6 +92,10 @@ class Trainer:
         self.seed = seed
         self.profile_dir = profile_dir
         self.steps_per_execution = max(1, int(steps_per_execution))
+        self.load_from = load_from if load_from else getattr(
+            self.pipeline, "load_from", None
+        )
+        self.resume = resume
         self.state: Optional[TrainState] = None
         self.history: list = []
 
@@ -152,10 +165,27 @@ class Trainer:
             sparse_table_paths=paths,
         )
         self._sparse = bool(paths)
+        state = self._maybe_restore(state)
         if self.mesh is not None:
             state = state.replace(params=shard_params(state.params, self.mesh))
         self.state = state
         return state
+
+    def _maybe_restore(self, state: TrainState) -> TrainState:
+        """Restore from ``load_from`` (explicit) or the newest checkpoint in
+        ``checkpoint_dir`` (auto-resume); fresh state otherwise."""
+        from torecsys_tpu.train.checkpoint import latest_checkpoint, restore_checkpoint
+
+        path = self.load_from
+        if path is None and self.resume and self.checkpoint_dir:
+            path = latest_checkpoint(self.checkpoint_dir)
+        if path is None:
+            return state
+        if not os.path.exists(path):
+            raise FileNotFoundError(f"load_from checkpoint not found: {path}")
+        restored = restore_checkpoint(path, state)
+        logger.info("restored checkpoint %s (step %d)", path, int(restored.step))
+        return restored
 
     def _trace_contexts(self):
         """Contexts that must be active while the train step is jit-traced:
@@ -288,9 +318,12 @@ class Trainer:
             raise RuntimeError("call fit() or init_state() before evaluate()")
         auc_state, ll_state = self._auc.init(), self._logloss.init()
         for batch in self._epoch_iter(loader):
-            placed = self._place_batch(batch)
             if self.pipeline.target_fields not in batch:
-                continue
+                raise ValueError(
+                    f"evaluation batch is missing the target field "
+                    f"{self.pipeline.target_fields!r} (fields: {sorted(batch)})"
+                )
+            placed = self._place_batch(batch)
             if self.mesh is not None:
                 with use_sharded_lookup(self.mesh):
                     auc_state, ll_state = self._eval_metrics_fn(
