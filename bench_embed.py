@@ -2,26 +2,36 @@
 
 Measures the fused-table packed lookup (the reference's hot path,
 ``/root/reference/torecsys/inputs/base/multi_indices_emb.py:103-104``) on the
-real TPU, Criteo-shaped: batch 4096 x 26 fields = 106,496 Zipf-distributed
-lookups per step against a 0.5M/30M-row fused table, embed size 16 (packed
-(V/8, 128) layout).
+real TPU, Criteo-shaped: batch 4096 x 26 fields = 106,496 lookups per step,
+per-field Zipf ids over a long-tailed field-size split of the total vocab
+(offsets applied, as ``MultiIndicesEmbedding.embed`` does), embed size 16
+(packed (V/8, 128) layout).
 
-Three measurements, each as steps inside one jitted ``lax.scan`` (the only
-reliable timing on the tunneled runtime — see bench.py):
+Three measurements, each as steps inside one jitted ``lax.scan`` with the
+carry DONATED (the 30M-row config holds ~5.8 GB of table+slot state; without
+donation it is held twice and OOMs — learned the hard way):
 
 * ``fwd``:       gather only (inference path)
-* ``fwd_bwd``:   gather + scatter-add cotangent (dense-grad training path)
+* ``fwd_bwd``:   gather + scatter-add cotangent + dense optax Adam over the
+                 full table (the dense-grad training path)
 * ``train_row``: gather + per-slot grads + dedup + fused row-wise Adam
                  (the sparse train path's full embedding cost)
 
+Before timing, a compiled-on-TPU numeric check runs the fused Pallas update
+kernel against the pure-XLA row path on identical inputs and fails loudly on
+divergence (the interpret-mode equivalence test cannot catch a Mosaic
+miscompile; this does).
+
 Output: one JSON line per (table_rows, mode) with lookups/sec and
-bytes-moved/sec vs the v5e HBM peak (819 GB/s).  SPEED.md records the
-numbers and the roofline accounting.
+bytes-moved/sec vs the v5e HBM peak (819 GB/s); a combined artifact is
+written to SPEED.json.  SPEED.md records the numbers and the roofline
+accounting.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -29,23 +39,87 @@ import numpy as np
 BATCH = 4096
 N_FIELDS = 26
 EMBED = 16
-ITERS = 40         # steps per dispatch (lax.scan)
+ITERS = 20         # steps per dispatch (lax.scan)
 REPS = 5
 V5E_HBM_GBPS = 819.0
+ARTIFACT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "SPEED.json")
 
 
-def run(total_rows: int, mode: str):
+def make_field_ids(total_rows: int, iters: int, rng) -> np.ndarray:
+    """Per-field Zipf ids with offsets applied — the id stream
+    ``MultiIndicesEmbedding.embed`` actually produces."""
+    raw_sizes = rng.zipf(1.3, N_FIELDS).astype(np.float64)
+    sizes = np.maximum(
+        (raw_sizes / raw_sizes.sum() * total_rows).astype(np.int64), 4
+    )
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    cols = [
+        np.minimum(rng.zipf(1.2, size=(iters, BATCH)) - 1, s - 1) + o
+        for s, o in zip(sizes, offs)
+    ]
+    return np.stack(cols, axis=2).astype(np.int32), int(sizes.sum())  # (I,B,N)
+
+
+def check_kernel_numerics(rng):
+    """Compiled-on-TPU equivalence: fused Pallas update vs the XLA row path.
+
+    Runs once per bench invocation; raises on divergence (VERDICT r2 §weak-4:
+    interpret-mode tests cannot catch a Mosaic miscompile/DMA race).
+    """
     import jax
     import jax.numpy as jnp
 
+    from torecsys_tpu.ops import pallas as pallas_mod
+    from torecsys_tpu.ops.sparse import RowAdam, dedup_sum_fields
+
+    if not pallas_mod.sparse_update_enabled():
+        print(json.dumps({"kernel_numeric_check": "skipped (no TPU kernel)"}))
+        return
+    rows, e = 4096, EMBED
+    from torecsys_tpu.ops.embedding import packed_shape
+
+    vp, w = packed_shape(rows, e)
+    pack = w // e
+    ids = jnp.asarray(rng.integers(0, rows, (256, 8)).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(256, 8, e)).astype(np.float32))
+    table = jnp.asarray(rng.normal(0, 0.1, size=(vp, w)).astype(np.float32))
+    tx = RowAdam(learning_rate=1e-2, weight_decay=1e-4)
+    slots = tx.init(table)
+
+    @jax.jit
+    def run(use_kernel, t, sl):
+        uids, gsum = dedup_sum_fields(ids, g, pack, vp)
+        return tx.update(t, sl, uids, gsum, jnp.int32(3))
+
+    new_t_k, new_sl_k = run(True, table, slots)          # kernel path (TPU)
+    with pallas_mod.disable():                           # XLA fallback path
+        new_t_x, new_sl_x = jax.jit(
+            lambda t, sl: run(False, t, sl)
+        )(table, slots)
+    dt = float(jnp.max(jnp.abs(new_t_k - new_t_x)))
+    dm = float(jnp.max(jnp.abs(new_sl_k["mv"] - new_sl_x["mv"])))
+    ok = dt < 1e-5 and dm < 1e-5
+    print(json.dumps({
+        "kernel_numeric_check": "ok" if ok else "FAILED",
+        "max_abs_diff_table": dt, "max_abs_diff_mv": dm,
+    }), flush=True)
+    if not ok:
+        raise SystemExit("fused kernel diverges from XLA row path on TPU")
+
+
+def run(total_rows: int, mode: str, results: list):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
     from torecsys_tpu.ops.embedding import packed_lookup, packed_shape
-    from torecsys_tpu.ops.sparse import RowAdam, dedup_sum_stored
+    from torecsys_tpu.ops.sparse import RowAdam, dedup_sum_fields
 
     m = BATCH * N_FIELDS
     rng = np.random.default_rng(0)
-    raw = rng.zipf(1.2, size=(ITERS, m))
-    ids = jnp.asarray(np.minimum(raw - 1, total_rows - 1).astype(np.int32))
-    vp, w = packed_shape(total_rows, EMBED)
+    ids_np, total = make_field_ids(total_rows, ITERS, rng)
+    ids = jnp.asarray(ids_np)
+    vp, w = packed_shape(total, EMBED)
     pack = w // EMBED
     table = jnp.asarray(rng.normal(0, 0.01, size=(vp, w)).astype(np.float32))
 
@@ -59,42 +133,54 @@ def run(total_rows: int, mode: str):
         # bytes: read one 512B stored row per lookup + write 64B activation
         bytes_per_lookup = w * 4 + EMBED * 4
     elif mode == "fwd_bwd":
-        def body(carry, step_ids):
-            t, acc = carry
-            g = jax.grad(lambda tt: (packed_lookup(tt, step_ids, EMBED) ** 2).sum())(t)
-            return (t, acc + g.sum()), ()
+        # Dense training path: dense cotangent buffer + full-table Adam — the
+        # reference's semantics (torch.optim.Adam over nn.Embedding.weight).
+        tx = optax.adam(1e-3)
+        opt0 = tx.init(table)
 
-        init = (table, jnp.zeros(()))
-        # fwd row read + dense cotangent buffer write + scatter r/м-w
-        bytes_per_lookup = w * 4 * 3
+        def body(carry, step_ids):
+            t, opt, acc = carry
+            gfn = jax.grad(lambda tt: (packed_lookup(tt, step_ids, EMBED) ** 2).sum())
+            gr = gfn(t)
+            updates, opt = tx.update(gr, opt, t)
+            t = optax.apply_updates(t, updates)
+            return (t, opt, acc + gr.sum()), ()
+
+        init = (table, opt0, jnp.zeros(()))
+        # fwd row read + dense cotangent zero+scatter (2x) + full-table
+        # adam: read t,m,v + write t,m,v (6x)
+        bytes_per_lookup = w * 4 * 3 + (vp * w * 4 * 8) // m
     elif mode == "train_row":
         row_tx = RowAdam(learning_rate=1e-3)
         slots = row_tx.init(table)
 
         def body(carry, step_ids):
             t, sl, acc = carry
-            out, vjp = jax.vjp(lambda tt: packed_lookup(tt, step_ids, EMBED),
-                               jax.lax.stop_gradient(t))
+            out = packed_lookup(jax.lax.stop_gradient(t), step_ids, EMBED)
             g = 2.0 * out  # cotangent of sum(out**2); per-slot, O(batch)
-            uids, gsum = dedup_sum_stored(
-                step_ids.reshape(-1), g.reshape(-1, EMBED), pack, vp
+            uids, gsum = dedup_sum_fields(
+                step_ids, g, pack, vp
             )
             t, sl = row_tx.update(t, sl, uids, gsum, jnp.int32(1))
             return (t, sl, acc + out.sum()), ()
 
         init = (table, slots, jnp.zeros(()))
-        # row read + (table + mv) read&write on ~unique rows; amortized per
-        # lookup this is well under fwd_bwd's dense-buffer traffic
+        # sort+permute passes over (M,8B)+(M,64B) + widen/segsum over
+        # (M,512B) + touched-row (table+mv) read&write
         bytes_per_lookup = w * 4 * 2
     else:
         raise KeyError(mode)
 
-    @jax.jit
-    def scan_fn(carry, all_ids):
-        return jax.lax.scan(body, carry, all_ids)
-
+    scan_fn = jax.jit(
+        lambda carry, all_ids: jax.lax.scan(body, carry, all_ids),
+        donate_argnums=(0,),
+    )
+    t0 = time.perf_counter()
     carry, _ = scan_fn(init, ids)
     jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+    compile_s = time.perf_counter() - t0
+    # flip the tunneled runtime into synchronous-acknowledgment dispatch;
+    # without this the timed loop measures enqueue, not execution
     jax.device_get(jnp.zeros(()))
     t0 = time.perf_counter()
     for _ in range(REPS):
@@ -106,7 +192,7 @@ def run(total_rows: int, mode: str):
     steps = REPS * ITERS
     lookups_per_sec = m * steps / dt
     gbps = lookups_per_sec * bytes_per_lookup / 1e9
-    print(json.dumps({
+    rec = {
         "metric": f"embedding_lookups_per_sec[{mode}]",
         "table_rows": total_rows,
         "value": round(lookups_per_sec, 0),
@@ -114,7 +200,10 @@ def run(total_rows: int, mode: str):
         "ms_per_step": round(dt / steps * 1000, 3),
         "approx_gbps": round(gbps, 1),
         "pct_of_hbm_roofline": round(100 * gbps / V5E_HBM_GBPS, 1),
-    }), flush=True)
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    results.append(rec)
 
 
 if __name__ == "__main__":
@@ -122,6 +211,22 @@ if __name__ == "__main__":
 
     rows = [int(a) for a in sys.argv[1:] if a.isdigit()] or [500_000, 30_000_000]
     modes = [a for a in sys.argv[1:] if not a.isdigit()] or ["fwd", "fwd_bwd", "train_row"]
+    check_kernel_numerics(np.random.default_rng(1))
+    results = []
     for r in rows:
         for mo in modes:
-            run(r, mo)
+            run(r, mo, results)
+    if results:
+        existing = []
+        if os.path.exists(ARTIFACT):
+            with open(ARTIFACT) as f:
+                try:
+                    existing = json.load(f)
+                except json.JSONDecodeError:
+                    existing = []
+        keyed = {(e.get("metric"), e.get("table_rows")): e for e in existing}
+        for rec in results:
+            keyed[(rec["metric"], rec["table_rows"])] = rec
+        with open(ARTIFACT, "w") as f:
+            json.dump(list(keyed.values()), f, indent=1)
+        print(f"wrote {ARTIFACT}", file=sys.stderr)

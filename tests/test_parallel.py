@@ -102,7 +102,8 @@ def test_sharded_train_step_matches_single_device():
     m1 = tr1.fit(loader, max_epochs=1)
 
     mesh = make_mesh(data=2, table=4)
-    tr2 = Trainer(build_pipeline(), mesh=mesh, seed=0, log_every=10_000)
+    tr2 = Trainer(build_pipeline(), mesh=mesh, seed=0, log_every=10_000,
+                  lookup_options={"min_rows_to_shard": 0})
     m2 = tr2.fit(loader, max_epochs=1)
 
     np.testing.assert_allclose(m1["train_loss"], m2["train_loss"], rtol=1e-3)
@@ -124,7 +125,9 @@ def test_shard_params_places_tables():
         "inputs": {"embedding": jnp.zeros((64, 8))},
         "model": {"dense": {"kernel": jnp.zeros((8, 4))}},
     }
-    placed = shard_params(params, mesh)
+    # min_rows_to_shard=0: tiny test table; default table-wise placement
+    # would (correctly) replicate it — covered by test_tablewise_placement_mixed
+    placed = shard_params(params, mesh, min_rows_to_shard=0)
     emb_spec = placed["inputs"]["embedding"].sharding.spec
     assert tuple(emb_spec) == ("table", None)
     dense_spec = placed["model"]["dense"]["kernel"].sharding.spec
@@ -168,3 +171,74 @@ def test_sharded_packed_lookup_grad(np_rng):
     want = np.zeros((v, e), np.float32)
     np.add.at(want, np.asarray(ids).reshape(-1), np.asarray(w).reshape(-1, e))
     np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-6)
+
+
+@requires_8_devices
+def test_tablewise_placement_mixed():
+    """Table-wise placement: large tables row-shard, small tables replicate
+    (parallel.sharding.DEFAULT_MIN_ROWS_TO_SHARD heuristic), and the lookup
+    routing agrees with the placement (SURVEY.md §2.11)."""
+    from torecsys_tpu.parallel.sharding import infer_param_sharding
+
+    mesh = make_mesh(data=2, table=4)
+    params = {
+        "big": {"embedding": jnp.zeros((1 << 17, 8))},     # 128k rows: shard
+        "small": {"embedding": jnp.zeros((64, 8))},        # 64 rows: replicate
+        "fa_big": {"embedding": jnp.zeros((3, 1 << 17, 8))},
+        "tower": {"kernel": jnp.zeros((8, 8))},
+    }
+    sh = infer_param_sharding(params, mesh)
+    assert sh["big"]["embedding"].spec == jax.sharding.PartitionSpec("table", None)
+    assert sh["fa_big"]["embedding"].spec == jax.sharding.PartitionSpec(None, "table", None)
+    assert sh["small"]["embedding"].spec == jax.sharding.PartitionSpec()
+    assert sh["tower"]["kernel"].spec == jax.sharding.PartitionSpec()
+
+    # lookup routing agrees: small table -> plain gather even under the mesh
+    from torecsys_tpu.parallel.lookup import maybe_sharded_lookup
+
+    tbl = jnp.arange(64 * 8, dtype=jnp.float32).reshape(64, 8)
+    ids = jnp.arange(16, dtype=jnp.int32).reshape(4, 4)
+    with use_sharded_lookup(mesh):
+        out = maybe_sharded_lookup(tbl, ids)  # must not need the collective
+    np.testing.assert_allclose(np.asarray(out), np.asarray(tbl)[np.asarray(ids)])
+
+
+@requires_8_devices
+def test_fieldaware_packed_3d_table_sharded_parity():
+    """The packed field-aware (N, Vp, P*E) table under a mesh: sparse+sharded
+    train step matches the single-device one (covers the 3-D table the
+    2-D-only parity tests missed)."""
+    from torecsys_tpu.data import make_synthetic_ctr
+    from torecsys_tpu.inputs import Inputs, MultiIndicesFieldAwareEmbedding
+    from torecsys_tpu.train import Pipeline, Trainer
+
+    field_sizes = (24, 16, 8)
+    data = make_synthetic_ctr(num_rows=1024, field_sizes=field_sizes, num_dense=0)
+
+    def build():
+        inputs = Inputs(schema={
+            "field_emb_inputs": MultiIndicesFieldAwareEmbedding(
+                embed_size=4, field_sizes=field_sizes,
+                fields=("cat_0", "cat_1", "cat_2"),
+            ),
+        })
+        return (Pipeline().set_objective("ctr").set_inputs(inputs)
+                .set_model("DeepFFM", num_fields=3, deep_layer_sizes=(8,))
+                .set_criterion("BCEWithLogitsLoss")
+                .set_optimizer("Adam", lr=0.01)
+                .set_sparse_embeddings(True)
+                .set_target_fields("label"))
+
+    def loader():
+        for s in range(0, 1024, 256):
+            yield {k: v[s:s + 256] for k, v in data.items()}
+
+    results = []
+    for mesh in (None, make_mesh(data=2, table=4)):
+        tr = Trainer(build(), mesh=mesh, seed=0, log_every=10_000,
+                     lookup_options={"min_rows_to_shard": 0})
+        tr.fit(loader, max_epochs=1)
+        results.append(jax.device_get(tr.state.params))
+    for a, b in zip(jax.tree_util.tree_leaves(results[0]),
+                    jax.tree_util.tree_leaves(results[1])):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)

@@ -383,7 +383,8 @@ def test_sparse_sharded_parity():
     results = {}
     for mesh in (None, make_mesh(data=4, table=2)):
         p = make_pipeline(True)
-        tr = Trainer(p, mesh=mesh, log_every=10_000)
+        tr = Trainer(p, mesh=mesh, log_every=10_000,
+                     lookup_options={"min_rows_to_shard": 0})
         tr.fit(lambda: iter([batch, batch]), max_epochs=1)
         results[mesh is None] = jax.device_get(tr.state.params)
         assert isinstance(tr.state.opt_state, dict)

@@ -134,7 +134,14 @@ class ListnetLoss(RankingLoss):
     """Groupwise ListNet top-1 cross-entropy.
 
     Reference: ``losses/ltr/groupwise_ranking_loss.py:20-59``.
+
+    ``groupwise = True`` routes the LTR train step through the listwise
+    assembly (per-anchor ``[pos | negs]`` score lists with one-hot
+    relevance) instead of the pairwise pos/neg split
+    (``train.steps.make_train_step``).
     """
+
+    groupwise = True
 
     def __call__(self, y_true, y_pred, mask=None):
         loss = F.listnet_loss(y_true, y_pred, mask)

@@ -24,6 +24,7 @@ from torecsys_tpu.metrics.streaming import (
     StreamingAUC,
     StreamingLogLoss,
     StreamingMean,
+    StreamingNDCG,
 )
 
 __all__ = [
@@ -34,6 +35,7 @@ __all__ = [
     "StreamingAUC",
     "StreamingLogLoss",
     "StreamingMean",
+    "StreamingNDCG",
     "discounted_cumulative_gain",
     "functional",
     "ideal_discounted_cumulative_gain",

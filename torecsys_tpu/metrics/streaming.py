@@ -117,6 +117,45 @@ class StreamingLogLoss:
     merge = staticmethod(StreamingMean.merge)
 
 
+@dataclasses.dataclass(frozen=True)
+class StreamingNDCG:
+    """Streaming mean NDCG@k over ranked lists.
+
+    ``update`` takes per-list predicted scores and graded relevance
+    ``(G, L)``; lists are ranked by score inside the update (one
+    argsort-free top-L sort per batch) and the per-list NDCG@k accumulates
+    into a mean state — psum-mergeable across hosts like the other
+    streaming metrics (SURVEY.md §5.5).
+    """
+
+    k: int | None = None
+    exp: bool = True
+    _mean: StreamingMean = StreamingMean()
+
+    def init(self) -> MeanState:
+        return self._mean.init()
+
+    def update(self, state: MeanState, scores: jnp.ndarray,
+               relevance: jnp.ndarray) -> MeanState:
+        from torecsys_tpu.metrics.functional import (
+            discounted_cumulative_gain,
+            ideal_discounted_cumulative_gain,
+        )
+
+        # rank relevance by descending predicted score per list
+        order = jnp.argsort(-scores, axis=-1)
+        ranked = jnp.take_along_axis(relevance, order, axis=-1)
+        dcg = discounted_cumulative_gain(ranked, k=self.k, exp=self.exp)
+        idcg = ideal_discounted_cumulative_gain(relevance, k=self.k, exp=self.exp)
+        ndcg = dcg / jnp.maximum(idcg, 1e-12)
+        return self._mean.update(state, ndcg)
+
+    def compute(self, state: MeanState) -> jnp.ndarray:
+        return self._mean.compute(state)
+
+    merge = staticmethod(StreamingMean.merge)
+
+
 class NoveltyState(NamedTuple):
     total_info: jnp.ndarray
     count: jnp.ndarray

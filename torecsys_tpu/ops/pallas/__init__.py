@@ -54,6 +54,33 @@ def sparse_update_enabled() -> bool:
         return False
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def disable():
+    """Force the XLA fallback paths while tracing inside this block.
+
+    Used by the TPU bench's compiled-numerics check to build the reference
+    (kernel-off) program; the gates read the env at trace time, so entering
+    this around a ``jax.jit`` call is sufficient.
+    """
+    saved = {
+        k: os.environ.get(k)
+        for k in ("TORECSYS_TPU_PALLAS", "TORECSYS_TPU_SPARSE_KERNEL")
+    }
+    os.environ["TORECSYS_TPU_PALLAS"] = "0"
+    os.environ["TORECSYS_TPU_SPARSE_KERNEL"] = "0"
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 from torecsys_tpu.ops.pallas.embedding import row_gather  # noqa: E402
 
-__all__ = ["enabled", "row_gather", "sparse_update_enabled"]
+__all__ = ["disable", "enabled", "row_gather", "sparse_update_enabled"]

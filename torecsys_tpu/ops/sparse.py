@@ -141,15 +141,15 @@ def _combine_sorted_stored(sorted_ids, g_sorted, pack, num_stored_rows):
     matching ``(M, E)`` grads → compact ``(M,) unique stored-row ids`` +
     ``(M, P*E)`` wide summed grads.
 
-    The wide gradient is built by ONE narrow scatter-add into a compact
-    ``(M, P, E)`` buffer at ``[segment, in-row slot]`` — no ``(M, P*E)``
-    one-hot einsum and no 128-lane-wide segment ops (those two dominated the
-    measured v5e dedup cost at Criteo shapes; see SPEED.md).
+    Formulation chosen by measurement on v5e (Criteo shapes, M≈106k; see
+    SPEED.md): one-hot einsum widen of the *sorted* narrow grads (0.4 ms,
+    MXU) + a sorted-segment ``segment_sum`` beats a 2-D ``.at[seg,lo].add``
+    scatter by >5x (XLA lowers multi-index scatter-adds to a serialized
+    loop), and the scatter-set of uids replaces the old ``segment_max``.
     """
     m, e = g_sorted.shape
     sorted_ids = sorted_ids.astype(jnp.int32)
     hi = sorted_ids // pack
-    lo = sorted_ids % pack
     is_first = jnp.concatenate([jnp.ones((1,), bool), hi[1:] != hi[:-1]])
     seg = prefix_sum(is_first.astype(jnp.int32)) - 1
     # All writers of uids[s] carry the same value (hi is constant within a
@@ -158,47 +158,39 @@ def _combine_sorted_stored(sorted_ids, g_sorted, pack, num_stored_rows):
         hi, indices_are_sorted=True
     )
     if pack == 1:
-        gsum = jax.ops.segment_sum(
-            g_sorted, seg, num_segments=m, indices_are_sorted=True
-        )
-        return uids, gsum
-    gsum = (
-        jnp.zeros((m, pack, e), g_sorted.dtype)
-        .at[seg, lo]
-        .add(g_sorted, indices_are_sorted=True)
-        .reshape(m, pack * e)
-    )
+        wide = g_sorted
+    else:
+        lo = sorted_ids % pack
+        oh = jax.nn.one_hot(lo, pack, dtype=g_sorted.dtype)
+        wide = jnp.einsum("mp,me->mpe", oh, g_sorted).reshape(m, pack * e)
+    gsum = jax.ops.segment_sum(wide, seg, num_segments=m, indices_are_sorted=True)
     return uids, gsum
 
 
 def dedup_sum_fields(
     ids: jnp.ndarray, grads: jnp.ndarray, pack: int, num_stored_rows: int
 ):
-    """Structured dedup for per-field-offset lookups: ``(B, K) ids,
+    """Dedup per-slot gradients into stored-row space: ``(B, K) ids,
     (B, K, E) grads → (B*K,) unique stored-row ids, (B*K, P*E) wide sums``.
 
-    Contract: column ``k``'s ids live in a vocab range disjoint from and
-    *below* column ``k+1``'s — exactly what the fused-table offset trick
-    guarantees (``ops.embedding.field_offsets``; reference
-    ``multi_indices_emb.py:54``).  Then a global sort is unnecessary: sorting
-    each column independently (K parallel 4096-element sorts instead of one
-    ~100k-element bitonic sort — measured ~4x cheaper on v5e) and reading out
-    column-major yields a globally id-ascending stream, which feeds the same
-    scatter-based combine as :func:`dedup_sum_stored`.
+    The train-step entry point (``train.steps.sparse_train_step``).  Differs
+    from :func:`dedup_sum_stored` in op ordering: the permutation is applied
+    to the *narrow* ``(M, E)`` grads (8x less gather traffic than permuting
+    the widened ``(M, P*E)`` grads) and the widen runs on the sorted stream
+    where it fuses into the segment sum's input.
 
     Output contract matches :func:`dedup_sum_stored` (ascending unique
     stored-row ids, sentinel-padded; wide summed grads).
     """
-    b, k = ids.shape
     e = grads.shape[-1]
-    cols = jnp.transpose(ids.astype(jnp.int32))  # (K, B)
-    g_cols = jnp.transpose(grads, (1, 0, 2))  # (K, B, E)
-    pos = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32), (k, b))
-    sorted_cols, order = jax.lax.sort_key_val(cols, pos, dimension=1)
-    g_sorted = jnp.take_along_axis(g_cols, order[..., None], axis=1)
-    flat_ids = sorted_cols.reshape(-1)  # globally ascending (disjoint ranges)
-    flat_g = g_sorted.reshape(-1, e)
-    return _combine_sorted_stored(flat_ids, flat_g, pack, num_stored_rows)
+    flat_ids = ids.reshape(-1).astype(jnp.int32)
+    flat_g = grads.reshape(-1, e)
+    m = flat_ids.shape[0]
+    sorted_ids, order = jax.lax.sort_key_val(
+        flat_ids, jnp.arange(m, dtype=jnp.int32)
+    )
+    g_sorted = jnp.take(flat_g, order, axis=0)
+    return _combine_sorted_stored(sorted_ids, g_sorted, pack, num_stored_rows)
 
 
 def _rows(arr: jnp.ndarray, embed_size: int) -> jnp.ndarray:

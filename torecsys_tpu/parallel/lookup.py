@@ -39,9 +39,21 @@ class LookupContext:
     mesh: jax.sharding.Mesh
     data_axis: str = DATA_AXIS
     table_axis: str = TABLE_AXIS
-    # Tables smaller than this many rows are not worth sharding: the psum
-    # traffic would exceed just replicating them.
-    min_rows_to_shard: int = 0
+    # Tables smaller than this many (stored) rows take the plain-gather path:
+    # placement replicates them (parallel.sharding table-wise strategy), so
+    # routing them through the contribute-and-psum collective would add psum
+    # traffic for nothing.  MUST match the placement threshold — both default
+    # to sharding.DEFAULT_MIN_ROWS_TO_SHARD; tests/dry runs with tiny tables
+    # pass 0 to force the collective path.
+    min_rows_to_shard: int = None  # resolved in __post_init__
+
+    def __post_init__(self):
+        if self.min_rows_to_shard is None:
+            from torecsys_tpu.parallel.sharding import DEFAULT_MIN_ROWS_TO_SHARD
+
+            object.__setattr__(
+                self, "min_rows_to_shard", DEFAULT_MIN_ROWS_TO_SHARD
+            )
 
 
 _state = threading.local()

@@ -58,9 +58,13 @@ def initialize_distributed(**kwargs) -> None:
     if jax.process_count() > 1 or getattr(jax.distributed, "is_initialized", lambda: False)():
         return  # already initialized
     explicit = bool(kwargs.get("coordinator_address"))
+    # NB: TPU_WORKER_HOSTNAMES deliberately not sniffed — single-host TPU
+    # runtimes set it too, and treating it as "cluster requested" would make
+    # every single-host run die on a doomed coordinator handshake.
     auto_env = any(
         k in os.environ
-        for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")
+        for k in ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                  "MEGASCALE_COORDINATOR_ADDRESS")
     )
     if not explicit and not auto_env:
         return  # single-host: nothing to initialize

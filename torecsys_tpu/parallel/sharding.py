@@ -1,9 +1,12 @@
 """Sharding rules: where every parameter and batch array lives on the mesh.
 
 Rules (SURVEY.md §2.11 TPU mapping):
-  * embedding tables (param path contains ``embedding``) → row-sharded
-    ``P('table', None)`` (first axis = rows; the 3-D field-aware table shards
-    its row axis too);
+  * embedding tables (param path contains ``embedding``) → **table-wise
+    placement**: row-sharded ``P('table', None)`` when the table is large
+    enough that sharding pays (first axis = rows; the 3-D field-aware table
+    shards its row axis), REPLICATED when small (the psum/all-gather traffic
+    of sharding a small table exceeds the memory saved — cf. the
+    embedding-table placement strategies in PAPERS.md);
   * every other (dense-tower) parameter → replicated;
   * batch arrays → ``P('data')`` on their leading axis.
 """
@@ -18,6 +21,15 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from torecsys_tpu.parallel.mesh import DATA_AXIS, TABLE_AXIS
 
+# Tables with fewer stored rows than this replicate instead of row-sharding.
+# At the packed (row, 128-lane) layout this is 32 MB/f32 table — replication
+# costs each chip that much HBM plus a dense-grad all-reduce, vs. the sharded
+# path's per-step psum of the full (B/dp, K, E) lookup payload; below ~64k
+# rows the replica wins on both.  Lookup routing (parallel.lookup) and
+# placement (here) read the SAME constant so a replicated table is never
+# routed through the shard_map collective.
+DEFAULT_MIN_ROWS_TO_SHARD = 1 << 16
+
 
 def _path_str(path) -> str:
     return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
@@ -27,11 +39,13 @@ def infer_param_sharding(
     params: Any,
     mesh: jax.sharding.Mesh,
     table_axis: str = TABLE_AXIS,
+    min_rows_to_shard: int = DEFAULT_MIN_ROWS_TO_SHARD,
 ) -> Any:
     """Pytree of ``NamedSharding`` matching ``params``' structure.
 
-    Embedding tables are row-sharded over ``table_axis`` when their row count
-    divides the axis size; all other params are replicated.
+    Embedding tables row-shard over ``table_axis`` when they have at least
+    ``min_rows_to_shard`` stored rows and the row count divides the axis
+    size; small tables (and everything else) replicate.
     """
     ts = mesh.shape.get(table_axis, 1)
 
@@ -39,9 +53,11 @@ def infer_param_sharding(
         p = _path_str(path)
         if "embedding" in p and leaf.ndim >= 2 and ts > 1:
             # (V, E) tables shard rows; (N, V, E) field-aware tables shard V.
-            if leaf.ndim == 2 and leaf.shape[0] % ts == 0:
+            if (leaf.ndim == 2 and leaf.shape[0] % ts == 0
+                    and leaf.shape[0] >= min_rows_to_shard):
                 return NamedSharding(mesh, P(table_axis, None))
-            if leaf.ndim == 3 and leaf.shape[1] % ts == 0:
+            if (leaf.ndim == 3 and leaf.shape[1] % ts == 0
+                    and leaf.shape[1] >= min_rows_to_shard):
                 return NamedSharding(mesh, P(None, table_axis, None))
         return NamedSharding(mesh, P())
 

@@ -98,7 +98,20 @@ def make_train_step(pipeline: Pipeline) -> Callable[[TrainState, Batch], Tuple[T
             pos_out, new_stats = apply_model(params, state.batch_stats, pos_b, rngs)
             neg_out, new_stats = apply_model(params, new_stats, neg_b, rngs)
             b = pos_out.shape[0]
-            loss = criterion(pos_out.reshape(b, 1), neg_out.reshape(b, pipeline.num_negs))
+            pos_s = pos_out.reshape(b, 1)
+            neg_s = neg_out.reshape(b, pipeline.num_negs)
+            if getattr(criterion, "groupwise", False):
+                # Groupwise (ListNet) path: each anchor's [pos | negs]
+                # scores form one list with one-hot relevance (reference
+                # groupwise_ranking_loss.py:20-59 consumes (y_true, y_pred)
+                # lists; the miner supplies the in-batch lists).
+                scores = jnp.concatenate([pos_s, neg_s], axis=1)
+                relevance = jnp.concatenate(
+                    [jnp.ones_like(pos_s), jnp.zeros_like(neg_s)], axis=1
+                )
+                loss = criterion(relevance, scores)
+            else:
+                loss = criterion(pos_s, neg_s)
         elif objective == "emb":
             miner_rng = jax.random.fold_in(step_rng, 2)
             pos_b, neg_b = pipeline.miner(miner_rng, features, pipeline.miner_target_field)
@@ -279,6 +292,37 @@ def make_eval_step(pipeline: Pipeline, to_probability: bool = True):
         return preds, targets
 
     return eval_step
+
+
+def make_eval_ranking_step(pipeline: Pipeline, ndcg):
+    """Ranking eval step for the ltr/emb objectives: mine per-anchor
+    ``[pos | negs]`` candidate lists with a *deterministic* key, score them,
+    and accumulate streaming NDCG@k (one-hot relevance: rank-1 = the true
+    target beat every sampled negative).
+
+    ``(state, batch, eval_seed, ndcg_state) → ndcg_state`` — everything
+    in-device, nothing crosses the host boundary until ``compute``.
+    """
+    seq = pipeline.sequential
+
+    def step(state: TrainState, batch: Batch, eval_seed, ndcg_state):
+        features, _ = _split_batch(batch, pipeline)
+        key = jax.random.PRNGKey(0)
+        key = jax.random.fold_in(key, eval_seed)
+        pos_b, neg_b = pipeline.miner(key, features, pipeline.miner_target_field)
+        variables = state.variables()
+        pos_out = seq.apply(variables, pos_b, training=False)
+        neg_out = seq.apply(variables, neg_b, training=False)
+        b = pos_out.shape[0]
+        scores = jnp.concatenate(
+            [pos_out.reshape(b, 1), neg_out.reshape(b, pipeline.num_negs)], axis=1
+        )
+        relevance = jnp.concatenate(
+            [jnp.ones((b, 1)), jnp.zeros((b, pipeline.num_negs))], axis=1
+        )
+        return ndcg.update(ndcg_state, scores, relevance)
+
+    return step
 
 
 def make_eval_metrics_step(pipeline: Pipeline, auc, logloss):

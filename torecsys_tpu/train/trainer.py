@@ -27,7 +27,7 @@ import numpy as np
 
 import contextlib
 
-from torecsys_tpu.metrics import StreamingAUC, StreamingLogLoss
+from torecsys_tpu.metrics import StreamingAUC, StreamingLogLoss, StreamingNDCG
 from torecsys_tpu.ops.sparse import use_sparse_embedding_grads
 from torecsys_tpu.parallel.lookup import use_sharded_lookup
 from torecsys_tpu.parallel.sharding import shard_batch, shard_params
@@ -37,6 +37,7 @@ from torecsys_tpu.train.sparse import sparse_table_paths
 from torecsys_tpu.train.state import TrainState
 from torecsys_tpu.train.steps import (
     make_eval_metrics_step,
+    make_eval_ranking_step,
     make_eval_step,
     make_train_scan,
     make_train_step,
@@ -84,6 +85,8 @@ class Trainer:
         steps_per_execution: int = 1,
         load_from: Optional[str] = None,
         resume: bool = True,
+        ndcg_k: Optional[int] = 10,
+        lookup_options: Optional[Dict] = None,
     ):
         self.pipeline = pipeline.finalize()
         self.mesh = mesh
@@ -96,6 +99,11 @@ class Trainer:
             self.pipeline, "load_from", None
         )
         self.resume = resume
+        self.ndcg_k = ndcg_k
+        # kwargs for parallel.lookup.LookupContext (e.g. min_rows_to_shard);
+        # the same threshold feeds shard_params so placement and lookup
+        # routing always agree on which tables are sharded.
+        self.lookup_options = dict(lookup_options or {})
         self.state: Optional[TrainState] = None
         self.history: list = []
 
@@ -118,6 +126,12 @@ class Trainer:
             )
         self._eval_step_fn = jax.jit(eval_step)
         self._eval_metrics_fn = jax.jit(metrics_step)
+        if self.pipeline.objective in ("ltr", "emb"):
+            self._ndcg = StreamingNDCG(k=self.ndcg_k)
+            self._eval_ranking_fn = jax.jit(
+                make_eval_ranking_step(self.pipeline, self._ndcg)
+            )
+            self._ndcg_compute = jax.jit(self._ndcg.compute)
         # computes are jitted too: on a remote TPU runtime every un-jitted op
         # is a separate compile+round-trip
         self._auc_compute = jax.jit(self._auc.compute)
@@ -167,7 +181,11 @@ class Trainer:
         self._sparse = bool(paths)
         state = self._maybe_restore(state)
         if self.mesh is not None:
-            state = state.replace(params=shard_params(state.params, self.mesh))
+            state = state.replace(params=shard_params(
+                state.params, self.mesh,
+                **({"min_rows_to_shard": self.lookup_options["min_rows_to_shard"]}
+                   if "min_rows_to_shard" in self.lookup_options else {}),
+            ))
         self.state = state
         return state
 
@@ -192,7 +210,7 @@ class Trainer:
         the sharded-lookup route (mesh) and the sparse-gradient route."""
         ctx = contextlib.ExitStack()
         if self.mesh is not None:
-            ctx.enter_context(use_sharded_lookup(self.mesh))
+            ctx.enter_context(use_sharded_lookup(self.mesh, **self.lookup_options))
         if getattr(self, "_sparse", False):
             ctx.enter_context(use_sparse_embedding_grads())
         return ctx
@@ -311,11 +329,18 @@ class Trainer:
     # ---- evaluation -----------------------------------------------------
 
     def evaluate(self, loader: Iterable[Dict[str, np.ndarray]]) -> Dict[str, float]:
-        """Streaming AUC + logloss over a validation loader."""
+        """Streaming metrics over a validation loader.
+
+        ``ctr``: AUC + logloss on the target field.  ``ltr``/``emb``: mean
+        NDCG@k over per-anchor ``[pos | mined-negs]`` candidate lists
+        (deterministic eval keys) — the ranking analogue of held-out AUC.
+        """
         if self._eval_step_fn is None:
             self._build_steps()
         if self.state is None:
             raise RuntimeError("call fit() or init_state() before evaluate()")
+        if self.pipeline.objective in ("ltr", "emb"):
+            return self._evaluate_ranking(loader)
         auc_state, ll_state = self._auc.init(), self._logloss.init()
         for batch in self._epoch_iter(loader):
             if self.pipeline.target_fields not in batch:
@@ -325,7 +350,7 @@ class Trainer:
                 )
             placed = self._place_batch(batch)
             if self.mesh is not None:
-                with use_sharded_lookup(self.mesh):
+                with use_sharded_lookup(self.mesh, **self.lookup_options):
                     auc_state, ll_state = self._eval_metrics_fn(
                         self.state, placed, auc_state, ll_state
                     )
@@ -337,6 +362,24 @@ class Trainer:
             "val_auc": float(self._auc_compute(auc_state)),
             "val_logloss": float(self._ll_compute(ll_state)),
         }
+
+    def _evaluate_ranking(self, loader) -> Dict[str, float]:
+        """Mean NDCG@k over mined candidate lists (ltr/emb objectives)."""
+        ndcg_state = self._ndcg.init()
+        for i, batch in enumerate(self._epoch_iter(loader)):
+            placed = self._place_batch(batch)
+            seed = jnp.int32(i)
+            if self.mesh is not None:
+                with use_sharded_lookup(self.mesh, **self.lookup_options):
+                    ndcg_state = self._eval_ranking_fn(
+                        self.state, placed, seed, ndcg_state
+                    )
+            else:
+                ndcg_state = self._eval_ranking_fn(
+                    self.state, placed, seed, ndcg_state
+                )
+        key = f"val_ndcg@{self.ndcg_k}" if self.ndcg_k else "val_ndcg"
+        return {key: float(self._ndcg_compute(ndcg_state))}
 
     def predict(self, batch: Dict[str, np.ndarray]):
         """Score one batch (reference ``TorecsysPipeline.forward:671-685``)."""
