@@ -70,7 +70,7 @@ def check_kernel_numerics(rng):
     import jax.numpy as jnp
 
     from torecsys_tpu.ops import pallas as pallas_mod
-    from torecsys_tpu.ops.sparse import RowAdam, dedup_sum_fields
+    from torecsys_tpu.ops.sparse import RowAdam, dedup_sum_fields, sort_slot_grads
 
     if not pallas_mod.sparse_update_enabled():
         print(json.dumps({"kernel_numeric_check": "skipped (no TPU kernel)"}))
@@ -87,23 +87,36 @@ def check_kernel_numerics(rng):
     slots = tx.init(table)
 
     @jax.jit
-    def run(use_kernel, t, sl):
+    def run_postdedup(use_kernel, t, sl):
+        # exercises fused_rowwise_update (dedup done in XLA)
         uids, gsum = dedup_sum_fields(ids, g, pack, vp)
         return tx.update(t, sl, uids, gsum, jnp.int32(3))
 
-    new_t_k, new_sl_k = run(True, table, slots)          # kernel path (TPU)
-    with pallas_mod.disable():                           # XLA fallback path
-        new_t_x, new_sl_x = jax.jit(
-            lambda t, sl: run(False, t, sl)
-        )(table, slots)
-    dt = float(jnp.max(jnp.abs(new_t_k - new_t_x)))
-    dm = float(jnp.max(jnp.abs(new_sl_k["mv"] - new_sl_x["mv"])))
-    ok = dt < 1e-5 and dm < 1e-5
+    @jax.jit
+    def run_sorted(use_kernel, t, sl):
+        # exercises fused_sorted_dedup_update (dedup inside the kernel)
+        sorted_ids, g_sorted = sort_slot_grads(ids, g)
+        return tx.update_sorted(t, sl, sorted_ids, g_sorted, jnp.int32(3))
+
+    report = {}
+    fail = False
+    os.environ["TORECSYS_TPU_FUSED_DEDUP"] = "1"  # check the opt-in kernel too
+    for name, fn in (("postdedup", run_postdedup), ("sorted", run_sorted)):
+        new_t_k, new_sl_k = fn(True, table, slots)       # kernel path (TPU)
+        with pallas_mod.disable():                       # XLA fallback path
+            new_t_x, new_sl_x = jax.jit(
+                lambda t, sl, fn=fn: fn(False, t, sl)
+            )(table, slots)
+        dt = float(jnp.max(jnp.abs(new_t_k - new_t_x)))
+        dm = float(jnp.max(jnp.abs(new_sl_k["mv"] - new_sl_x["mv"])))
+        report[f"max_abs_diff_table[{name}]"] = dt
+        report[f"max_abs_diff_mv[{name}]"] = dm
+        fail = fail or dt > 1e-5 or dm > 1e-5
+    os.environ.pop("TORECSYS_TPU_FUSED_DEDUP", None)
     print(json.dumps({
-        "kernel_numeric_check": "ok" if ok else "FAILED",
-        "max_abs_diff_table": dt, "max_abs_diff_mv": dm,
+        "kernel_numeric_check": "FAILED" if fail else "ok", **report,
     }), flush=True)
-    if not ok:
+    if fail:
         raise SystemExit("fused kernel diverges from XLA row path on TPU")
 
 
@@ -113,7 +126,7 @@ def run(total_rows: int, mode: str, results: list):
     import optax
 
     from torecsys_tpu.ops.embedding import packed_lookup, packed_shape
-    from torecsys_tpu.ops.sparse import RowAdam, dedup_sum_fields
+    from torecsys_tpu.ops.sparse import RowAdam, sort_slot_grads
 
     m = BATCH * N_FIELDS
     rng = np.random.default_rng(0)
@@ -158,10 +171,10 @@ def run(total_rows: int, mode: str, results: list):
             t, sl, acc = carry
             out = packed_lookup(jax.lax.stop_gradient(t), step_ids, EMBED)
             g = 2.0 * out  # cotangent of sum(out**2); per-slot, O(batch)
-            uids, gsum = dedup_sum_fields(
-                step_ids, g, pack, vp
+            sorted_ids, g_sorted = sort_slot_grads(
+                step_ids.reshape(BATCH, -1), g.reshape(BATCH, -1, EMBED)
             )
-            t, sl = row_tx.update(t, sl, uids, gsum, jnp.int32(1))
+            t, sl = row_tx.update_sorted(t, sl, sorted_ids, g_sorted, jnp.int32(1))
             return (t, sl, acc + out.sum()), ()
 
         init = (table, slots, jnp.zeros(()))

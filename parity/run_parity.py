@@ -47,10 +47,18 @@ from torecsys_tpu.train import Pipeline, Trainer  # noqa: E402
 
 FIELD_SIZES = (200, 100, 100, 50, 50, 20)
 N_FIELDS = len(FIELD_SIZES)
-NUM_DENSE = 4
+# High-signal regime (r2 verdict): pure-categorical data with boosted planted
+# interactions.  Raw dense values were dropped because the reference's
+# FM-family models consume feat_inputs as an UNWEIGHTED sum (deep_fm.py:55 —
+# a per-id learnable weight exists only for categorical ids via the 1-dim
+# embedding), so unscaled dense columns enter with a fixed coefficient of 1
+# on both sides and only add noise neither side can fit — that artifact, not
+# the interaction math, produced r2's interaction-models-below-LR table.
+NUM_DENSE = 0
+PAIR_SCALE = 2.0
 ROWS, TRAIN = 120_000, 100_000
 E = 8
-EPOCHS = 3
+EPOCHS = 6
 LR = 3e-3
 BATCH = 1024
 CAT = tuple(f"cat_{i}" for i in range(N_FIELDS))
@@ -78,8 +86,11 @@ def loader(data, lo, hi, shuffle_seed=None):
 
 
 def feat_schema():
-    """First-order inputs: dense values stacked with a 1-dim embedding of the
-    categorical fields (the reference notebooks' feat_inputs idiom)."""
+    """First-order inputs: a 1-dim embedding of the categorical fields (the
+    reference notebooks' feat_inputs idiom; per-id learnable weight)."""
+    if NUM_DENSE == 0:
+        return MultiIndicesEmbedding(embed_size=1, field_sizes=FIELD_SIZES,
+                                     fields=CAT)
     return StackedInput(inputs=(
         ValueInput(fields=DENSE),
         MultiIndicesEmbedding(embed_size=1, field_sizes=FIELD_SIZES, fields=CAT),
@@ -105,9 +116,10 @@ def run_ours(data, model, schema, criterion="BCEWithLogitsLoss", **model_kwargs)
 
 
 def oracle_inputs(data):
-    """Shared torch-side input tensors: fused offset ids + dense values."""
+    """Shared torch-side input tensors: fused offset ids (+ dense values)."""
     ids = np.stack([data[c] for c in CAT], axis=1).astype(np.int64) + OFFSETS
-    dense = np.stack([data[d] for d in DENSE], axis=1).astype(np.float32)
+    dense = np.stack([data[d] for d in DENSE], axis=1).astype(np.float32) \
+        if NUM_DENSE else np.zeros((len(ids), 0), np.float32)
     return torch.from_numpy(ids), torch.from_numpy(dense)
 
 
@@ -123,6 +135,8 @@ def run_reference(data, name):
     emb_tbl = ref_oracle.fused_emb_table(VOCAB, E)
 
     def feat(sl):
+        if NUM_DENSE == 0:
+            return feat_tbl(ids_t[sl])
         return torch.cat([dense_t[sl].unsqueeze(-1), feat_tbl(ids_t[sl])], dim=1)
 
     if name == "LR":
@@ -338,7 +352,8 @@ def build_schema(kind):
 
 def main(only=None):
     data = make_synthetic_ctr(
-        num_rows=ROWS, field_sizes=FIELD_SIZES, num_dense=NUM_DENSE, seed=7
+        num_rows=ROWS, field_sizes=FIELD_SIZES, num_dense=NUM_DENSE, seed=7,
+        pair_scale=PAIR_SCALE,
     )
     results = {
         "protocol": {
@@ -347,7 +362,8 @@ def main(only=None):
             "oracle": "parity/torch_twin.py (the reference package cannot "
                       "execute on torch 2.13: named tensors removed)",
             "rows": ROWS, "train_rows": TRAIN, "field_sizes": FIELD_SIZES,
-            "num_dense": NUM_DENSE, "embed_size": E, "epochs": EPOCHS,
+            "num_dense": NUM_DENSE, "pair_scale": PAIR_SCALE,
+            "embed_size": E, "epochs": EPOCHS,
             "lr": LR, "batch_size": BATCH, "optimizer": "Adam",
             "reference": "p768lwy3/torecsys @ /root/reference (torch, "
                          "unmodified model code, minimal Adam/BCE loop)",

@@ -168,3 +168,71 @@ def test_inputs_add_inputs():
     )
     assert set(inputs2.schema) == {"feat_inputs", "emb_inputs"}
     assert set(inputs.schema) == {"feat_inputs"}
+
+
+def test_collate_images_from_path_and_transform(tmp_path):
+    """Image cells may be file paths (reference collate_fn.py:98-128) and a
+    per-image transform hook applies after loading."""
+    import numpy as np
+    from PIL import Image
+
+    from torecsys_tpu.data.collate import CollateFunction, FieldSpec
+
+    arrs = []
+    paths = []
+    for i in range(3):
+        a = (np.arange(8 * 8 * 3).reshape(8, 8, 3) * (i + 1) % 255).astype("uint8")
+        pth = str(tmp_path / f"img{i}.png")
+        Image.fromarray(a).save(pth)
+        arrs.append(a.astype(np.float32) / 255.0)
+        paths.append(pth)
+
+    cf = CollateFunction({"image": FieldSpec(field_type="images")})
+    batch = cf.to_batch([{"image": p} for p in paths])
+    assert batch["image"].shape == (3, 8, 8, 3)
+    np.testing.assert_allclose(batch["image"], np.stack(arrs), atol=1e-6)
+
+    cf2 = CollateFunction({
+        "image": FieldSpec(field_type="images", transform=lambda a: a[:4, :4])
+    })
+    batch2 = cf2.to_batch([{"image": p} for p in paths])
+    assert batch2["image"].shape == (3, 4, 4, 3)
+
+    # in-memory arrays still pass through
+    batch3 = cf.to_batch([{"image": a} for a in arrs])
+    np.testing.assert_allclose(batch3["image"], np.stack(arrs), atol=1e-6)
+
+
+def test_pretrained_image_input_weights_path(tmp_path, rng):
+    """weights_path: a saved tower's .npz drives a frozen backbone; only the
+    new head trains (reference pretrained_image_inp.py:10-80 semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torecsys_tpu.inputs import PretrainedImageInput, save_tower_weights
+    from torecsys_tpu.inputs.image import ImageInput
+
+    imgs = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 8, 8, 3)).astype(np.float32)
+    )
+    tower = ImageInput(embed_size=6, in_channels=3)
+    variables = tower.init(rng, {"image": imgs}, training=False)
+    path = save_tower_weights(str(tmp_path / "tower.npz"), variables)
+
+    module = PretrainedImageInput(embed_size=4, weights_path=path,
+                                  backbone_embed_size=6)
+    v2 = module.init(rng, {"image": imgs})
+    out = module.apply(v2, {"image": imgs})
+    assert out.shape == (2, 1, 4)
+    # only the head is trainable; backbone weights are frozen constants
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(v2["params"], sep="/")
+    assert all("head" in k for k in flat), sorted(flat)
+
+    def loss(p):
+        return jnp.sum(module.apply({"params": p}, {"image": imgs}) ** 2)
+
+    g = jax.grad(loss)(v2["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(g))

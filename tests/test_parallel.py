@@ -242,3 +242,113 @@ def test_fieldaware_packed_3d_table_sharded_parity():
     for a, b in zip(jax.tree_util.tree_leaves(results[0]),
                     jax.tree_util.tree_leaves(results[1])):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+@requires_8_devices
+@pytest.mark.parametrize("data,table", [(2, 4), (1, 8), (4, 2)])
+def test_alltoall_lookup_matches_plain(data, table, np_rng):
+    """Unique-id all-to-all lookup == plain gather (SURVEY §7 hard part #1)."""
+    from torecsys_tpu.parallel import sharded_lookup_alltoall
+
+    mesh = make_mesh(data=data, table=table)
+    v, e, b, k = 64, 16, 16, 5
+    tbl = np_rng.normal(size=(v, e)).astype(np.float32)
+    # heavy duplication: ids drawn from a tiny range exercises the dedup win
+    ids = np_rng.integers(0, 16, size=(b, k)).astype(np.int32)
+    ctx = LookupContext(mesh=mesh, strategy="alltoall", capacity_factor=8.0)
+    got = np.asarray(sharded_lookup_alltoall(jnp.asarray(tbl), jnp.asarray(ids), ctx))
+    np.testing.assert_allclose(got, tbl[ids], rtol=1e-5)
+
+
+@requires_8_devices
+def test_alltoall_packed_lookup_matches_plain(np_rng):
+    from torecsys_tpu.ops.embedding import pack_table
+    from torecsys_tpu.parallel import sharded_packed_lookup_alltoall
+
+    mesh = make_mesh(data=2, table=4)
+    v, e, b, k = 100, 16, 16, 5
+    tbl = np_rng.normal(size=(v, e)).astype(np.float32)
+    ids = np_rng.integers(0, v, size=(b, k)).astype(np.int32)
+    ctx = LookupContext(mesh=mesh, strategy="alltoall", capacity_factor=8.0)
+    got = np.asarray(sharded_packed_lookup_alltoall(
+        pack_table(jnp.asarray(tbl)), jnp.asarray(ids), e, ctx))
+    np.testing.assert_allclose(got, tbl[ids], rtol=1e-5)
+
+
+@requires_8_devices
+def test_alltoall_lookup_grad_matches(np_rng):
+    """Autodiff through the all-to-all pair == scatter-add into rows."""
+    from torecsys_tpu.parallel import sharded_lookup_alltoall
+
+    mesh = make_mesh(data=2, table=4)
+    v, e, b, k = 32, 8, 8, 4
+    tbl = jnp.asarray(np_rng.normal(size=(v, e)).astype(np.float32))
+    ids = jnp.asarray(np_rng.integers(0, v, size=(b, k)).astype(np.int32))
+    w = jnp.asarray(np_rng.normal(size=(b, k, e)).astype(np.float32))
+    ctx = LookupContext(mesh=mesh, strategy="alltoall", capacity_factor=8.0)
+
+    g1 = np.asarray(jax.grad(
+        lambda t: jnp.sum(w * sharded_lookup_alltoall(t, ids, ctx)))(tbl))
+    want = np.zeros((v, e), np.float32)
+    np.add.at(want, np.asarray(ids).reshape(-1), np.asarray(w).reshape(-1, e))
+    np.testing.assert_allclose(g1, want, rtol=1e-4, atol=1e-6)
+
+
+@requires_8_devices
+def test_alltoall_overflow_poisons_with_nan(np_rng):
+    """A destination bucket over capacity must poison the output (loud),
+    never silently drop lookups."""
+    from torecsys_tpu.parallel import sharded_lookup_alltoall
+
+    v, e = 64, 8
+    tbl = jnp.asarray(np_rng.normal(size=(v, e)).astype(np.float32))
+    mesh = make_mesh(data=1, table=2)
+    # shard 0 owns rows [0, 32): 32 unique ids, capacity 0.25*32/2 = 4
+    ids = jnp.asarray(np.arange(32, dtype=np.int32).reshape(4, 8))
+    ctx = LookupContext(mesh=mesh, strategy="alltoall", capacity_factor=0.25)
+    out = np.asarray(sharded_lookup_alltoall(tbl, ids, ctx))
+    assert np.isnan(out).any()
+
+
+@requires_8_devices
+def test_alltoall_via_trainer_step_parity():
+    """Full sparse+sharded train step with strategy='alltoall' matches the
+    single-device step (same data, same seed)."""
+    from torecsys_tpu.data import make_synthetic_ctr
+    from torecsys_tpu.inputs import Inputs, MultiIndicesEmbedding
+    from torecsys_tpu.train import Pipeline, Trainer
+
+    field_sizes = (64, 32)
+    data = make_synthetic_ctr(num_rows=1024, field_sizes=field_sizes, num_dense=0)
+
+    def build():
+        inputs = Inputs(schema={
+            "emb_inputs": MultiIndicesEmbedding(
+                embed_size=8, field_sizes=field_sizes, fields=("cat_0", "cat_1")
+            ),
+        })
+        return (Pipeline().set_objective("ctr").set_inputs(inputs)
+                .set_model("DCN", cross_num_layers=1, deep_output_size=4,
+                           deep_layer_sizes=(8,))
+                .set_criterion("BCEWithLogitsLoss")
+                .set_optimizer("Adam", lr=0.01)
+                .set_sparse_embeddings(True)
+                .set_target_fields("label"))
+
+    def loader():
+        for s in range(0, 1024, 256):
+            yield {k: v[s:s + 256] for k, v in data.items()}
+
+    results = []
+    for mesh, opts in (
+        (None, {}),
+        (make_mesh(data=2, table=4),
+         {"min_rows_to_shard": 0, "strategy": "alltoall", "capacity_factor": 8.0}),
+    ):
+        tr = Trainer(build(), mesh=mesh, seed=0, log_every=10_000,
+                     lookup_options=opts)
+        tr.fit(loader, max_epochs=1)
+        results.append(jax.device_get(tr.state.params))
+    for a, b in zip(jax.tree_util.tree_leaves(results[0]),
+                    jax.tree_util.tree_leaves(results[1])):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)

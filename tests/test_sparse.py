@@ -435,3 +435,92 @@ def test_hybrid_checkpoint_roundtrip():
         jax.tree_util.tree_leaves(jax.device_get(restored)),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestFusedSortedDedupUpdate:
+    """The fully-fused dedup+update kernel (in-kernel widen + MXU segment
+    combine + boundary carry + RMW) vs the XLA combine + row path, interpret
+    mode.  Id streams are crafted to cover: duplicates, stored-row sharing,
+    segments spanning tile boundaries (carry), a segment spanning >2 tiles,
+    and the sentinel-padded tail."""
+
+    def _check(self, rule, ids_np, total_rows, e=16, seed=0):
+        import jax.numpy as jnp
+
+        from torecsys_tpu.ops.embedding import packed_shape
+        from torecsys_tpu.ops.pallas.sparse_update import fused_sorted_dedup_update
+        from torecsys_tpu.ops.sparse import (
+            RowAdagrad,
+            RowAdam,
+            RowSGD,
+            _combine_sorted_stored,
+        )
+
+        rng = np.random.default_rng(seed)
+        vp, w = packed_shape(total_rows, e)
+        pack = w // e
+        tx = {"adam": RowAdam(learning_rate=1e-2, weight_decay=1e-4),
+              "adagrad": RowAdagrad(learning_rate=1e-2),
+              "sgd": RowSGD(learning_rate=1e-2)}[rule]
+        table = jnp.asarray(rng.normal(0, 0.1, (vp, w)).astype(np.float32))
+        slots = tx.init(table)
+        sorted_np = np.sort(ids_np.astype(np.int32))
+        g = jnp.asarray(rng.normal(size=(len(sorted_np), e)).astype(np.float32))
+        sorted_ids = jnp.asarray(sorted_np)
+
+        hyper, rl = tx.hyper_and_rule(jnp.int32(2))
+        new_t, new_sl = fused_sorted_dedup_update(
+            sorted_ids, g, table, tx._slot_tuple(slots, w), hyper, pack, rl,
+            interpret=True,
+        )
+        uids, gsum = _combine_sorted_stored(sorted_ids, g, pack, vp)
+        want_t, want_sl = tx.update(table, slots, uids, gsum, jnp.int32(2))
+        # tolerance: the in-kernel per-tile MXU combine + carry adds sum
+        # long duplicate runs in a different order than one segment_sum
+        np.testing.assert_allclose(np.asarray(new_t), np.asarray(want_t),
+                                   rtol=2e-4, atol=1e-5)
+        for got, want in zip(new_sl, tx._slot_tuple(want_sl, w)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("rule", ["adam", "adagrad", "sgd"])
+    def test_small_stream_with_duplicates(self, rule, np_rng):
+        ids = np_rng.integers(0, 300, 700)  # < one tile, heavy duplication
+        self._check(rule, ids, total_rows=300)
+
+    def test_cross_tile_carry(self, np_rng):
+        # one hot id repeated 900x spans tiles 0..1; plus a spread tail
+        ids = np.concatenate([
+            np.full(900, 7), np_rng.integers(0, 2000, 500)])
+        self._check("adam", ids, total_rows=2000)
+
+    def test_segment_spanning_three_tiles(self):
+        # 1600 copies of one id -> the segment covers tiles 0,1,2 entirely
+        ids = np.concatenate([np.full(1600, 42), np.arange(100)])
+        self._check("adam", ids, total_rows=4096)
+
+    def test_all_unique_and_pad_tail(self):
+        # all-unique ascending ids; M=777 forces sentinel padding to 1024
+        ids = np.arange(777) * 3 % 2048
+        self._check("adagrad", ids, total_rows=2048)
+
+    def test_update_sorted_dispatch_fallback(self, np_rng):
+        """update_sorted's XLA fallback equals dedup+update (no kernel on CPU)."""
+        import jax.numpy as jnp
+
+        from torecsys_tpu.ops.embedding import packed_shape
+        from torecsys_tpu.ops.sparse import RowAdam, dedup_sum_fields, sort_slot_grads
+
+        b, k, e, rows = 64, 5, 16, 500
+        vp, w = packed_shape(rows, e)
+        tx = RowAdam(learning_rate=1e-2)
+        table = jnp.asarray(np_rng.normal(0, 0.1, (vp, w)).astype(np.float32))
+        slots = tx.init(table)
+        ids = jnp.asarray(np_rng.integers(0, rows, (b, k)).astype(np.int32))
+        g = jnp.asarray(np_rng.normal(size=(b, k, e)).astype(np.float32))
+        sorted_ids, g_sorted = sort_slot_grads(ids, g)
+        t1, s1 = tx.update_sorted(table, slots, sorted_ids, g_sorted, jnp.int32(0))
+        uids, gsum = dedup_sum_fields(ids, g, w // e, vp)
+        t2, s2 = tx.update(table, slots, uids, gsum, jnp.int32(0))
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1["mv"]), np.asarray(s2["mv"]), rtol=1e-6)

@@ -34,12 +34,16 @@ class FieldSpec:
         max_length: static list length for multi-valued ``indices`` fields
             (scalar fields leave it at 1).
         dtype: output dtype.
+        transform: optional ``ndarray → ndarray`` applied per image AFTER
+            loading (``images`` fields — the reference's torchvision
+            ``transforms`` hook, ``collate_fn.py:40``).
     """
 
     field_type: str = "values"
     vocab: Optional[IndexField] = None
     max_length: int = 1
     dtype: Optional[np.dtype] = None
+    transform: Optional[object] = None
 
 
 class CollateFunction:
@@ -63,11 +67,38 @@ class CollateFunction:
                 batch.update(self._collate_indices(name, col, spec))
             elif spec.field_type == "images":
                 batch[name] = np.stack(
-                    [np.asarray(x, dtype=np.float32) for x in col], axis=0
+                    [self._load_image(x, spec) for x in col], axis=0
                 )
             else:
                 raise ValueError(f"unknown field_type {spec.field_type!r} for {name!r}")
         return batch
+
+    @staticmethod
+    def _load_image(x, spec: "FieldSpec") -> np.ndarray:
+        """One image cell → float32 HWC array.
+
+        Accepts an in-memory array, a filesystem path, or an http(s) URL —
+        the reference's three image sources (``collate_fn.py:98-128``: PIL
+        open for paths, ``requests.get`` for URLs).  Loaded images are
+        scaled to [0, 1]; arrays pass through unscaled.
+        """
+        if isinstance(x, str):
+            from PIL import Image
+
+            if x.startswith(("http://", "https://")):
+                import io
+                import urllib.request
+
+                with urllib.request.urlopen(x) as r:  # pragma: no cover (egress)
+                    img = Image.open(io.BytesIO(r.read()))
+            else:
+                img = Image.open(x)
+            arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
+        else:
+            arr = np.asarray(x, dtype=np.float32)
+        if spec.transform is not None:
+            arr = np.asarray(spec.transform(arr), dtype=np.float32)
+        return arr
 
     def _collate_indices(
         self, name: str, col: List[object], spec: FieldSpec

@@ -168,6 +168,7 @@ def make_synthetic_ctr(
     num_dense: int = 4,
     seed: int = 0,
     noise: float = 0.25,
+    pair_scale: float = 1.0,
 ) -> Dict[str, np.ndarray]:
     """Deterministic synthetic CTR data with planted pairwise interactions.
 
@@ -194,7 +195,10 @@ def make_synthetic_ctr(
     latent = np.stack([f[ids] for f, ids in zip(factors, cats)], axis=1)  # (R, N, k)
     s = latent.sum(axis=1)
     pair = 0.5 * ((s**2).sum(-1) - (latent**2).sum(axis=(1, 2)))
-    contrib += pair
+    # pair_scale > 1 boosts the interaction share of the label variance —
+    # used by the parity protocol so interaction models separate clearly
+    # from plain LR (high-signal regime)
+    contrib += pair_scale * pair
 
     dense = rng.normal(size=(num_rows, num_dense)).astype(np.float32)
     dense_w = rng.normal(0, 0.4, size=(num_dense,))

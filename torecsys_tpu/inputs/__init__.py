@@ -23,7 +23,7 @@ from torecsys_tpu.inputs.embeddings import (
     ValueInput,
 )
 from torecsys_tpu.inputs.sequence import ListIndicesEmbedding, SequenceIndicesEmbedding
-from torecsys_tpu.inputs.image import ImageInput, PretrainedImageInput
+from torecsys_tpu.inputs.image import ImageInput, PretrainedImageInput, save_tower_weights
 
 
 class Inputs(nn.Module):
@@ -65,6 +65,7 @@ __all__ = [
     "MultiIndicesEmbedding",
     "MultiIndicesFieldAwareEmbedding",
     "PretrainedImageInput",
+    "save_tower_weights",
     "SequenceIndicesEmbedding",
     "SingleIndexEmbedding",
     "StackedInput",

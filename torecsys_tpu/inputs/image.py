@@ -16,6 +16,7 @@ replace the head) without a network dependency.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -65,28 +66,52 @@ class ImageInput(BaseInput):
 
 
 class PretrainedImageInput(BaseInput):
-    """Injected-backbone image embedder → ``(B, 1, E)``.
+    """Pretrained-backbone image embedder → ``(B, 1, E)``.
 
-    Reference: ``pretrained_image_inp.py:10-80`` loads a torchvision model and
-    replaces its classifier head.  Here the backbone is dependency-injected
-    (``backbone(images) -> (B, F)`` features); ``frozen=True`` stops gradients
-    through it (parity with ``requires_grad=False``).  With no backbone a
-    plain :class:`ImageInput` tower is used.
+    Reference: ``pretrained_image_inp.py:10-80`` loads a torchvision model
+    (network download) and replaces its classifier head.  Egress-free
+    equivalents here, in priority order:
+
+    1. ``weights_path``: a local ``.npz`` of pretrained tower variables
+       (params + batch_stats, flat ``/``-joined paths — the format
+       ``save_tower_weights`` writes) for the built-in :class:`ImageInput`
+       tower.  The tower runs with those
+       fixed weights (always frozen — they are constants, not params) and
+       only the new ``head`` Dense trains.
+    2. ``backbone``: a dependency-injected feature extractor
+       (``backbone(images) -> (B, F)``); ``frozen=True`` stops gradients
+       (parity with ``requires_grad=False``).
+    3. neither: a plain trainable :class:`ImageInput` tower.
     """
 
     embed_size: int
     backbone: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
     frozen: bool = True
     fields: Tuple[str, ...] = ("image",)
+    weights_path: Optional[str] = None
+    backbone_embed_size: int = 64
 
     @nn.compact
     def __call__(self, batch: Batch, training: bool = False) -> jnp.ndarray:
+        import jax
+
         x = batch[self.fields[0]].astype(jnp.float32)
+        if self.weights_path is not None:
+            variables = _load_tower_weights(self.weights_path)
+            tower = ImageInput(
+                embed_size=self.backbone_embed_size,
+                in_channels=x.shape[-1],
+                fields=self.fields,
+            )
+            feats = tower.apply(
+                variables, {self.fields[0]: x}, training=False
+            )  # (B, 1, F) with FIXED pretrained weights
+            feats = jax.lax.stop_gradient(feats.reshape(feats.shape[0], -1))
+            out = nn.Dense(self.embed_size, name="head")(feats)
+            return out[:, None, :]
         if self.backbone is not None:
             feats = self.backbone(x)
             if self.frozen:
-                import jax
-
                 feats = jax.lax.stop_gradient(feats)
             if feats.ndim != 2:
                 feats = feats.reshape(feats.shape[0], -1)
@@ -99,3 +124,30 @@ class PretrainedImageInput(BaseInput):
             name="fallback_tower",
         )
         return tower(batch, training=training)
+
+
+def save_tower_weights(path: str, variables) -> str:
+    """Write an :class:`ImageInput` tower's VARIABLES (``params`` +
+    ``batch_stats``) as a flat ``.npz`` — the
+    ``PretrainedImageInput.weights_path`` format."""
+    import numpy as np
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables, sep="/")
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+    return path
+
+
+def _load_tower_weights(path: str):
+    """Load (and cache) a flat ``.npz`` param file back into a pytree."""
+    return _load_tower_weights_cached(path)
+
+
+@functools.lru_cache(maxsize=8)
+def _load_tower_weights_cached(path: str):
+    import numpy as np
+    from flax import traverse_util
+
+    with np.load(path) as z:
+        flat = {k: jnp.asarray(z[k]) for k in z.files}
+    return traverse_util.unflatten_dict(flat, sep="/")

@@ -64,7 +64,16 @@ class CompressInteractionNetworkLayer(BaseLayer):
                 b = self.param(f"bias_{k}", nn.initializers.zeros, (h, 1))
                 z = z + b[None, :, :]
             if self.use_batchnorm:
-                z = nn.BatchNorm(use_running_average=not training, name=f"bn_{k}", axis=-2)(z)
+                # momentum: flax 0.99 kept DELIBERATELY after measurement.
+                # Torch BN's effective running-stats decay is 0.9, and
+                # aligning (flax momentum=0.9) was hypothesized to close the
+                # xDeepFM parity gap — measured on the parity protocol it
+                # does the opposite (val AUC 0.5978/logloss 1.42 at 0.9 vs
+                # 0.6702/0.7016 at 0.99, torch twin 0.6898/0.6755): the
+                # faster EMA amplifies CIN's noisy per-channel stats at eval.
+                # See PARITY.md "xDeepFM BN" note.
+                z = nn.BatchNorm(use_running_average=not training,
+                                 name=f"bn_{k}", axis=-2, momentum=0.99)(z)
             z = self.activation(z)
             if self.is_direct or is_last:
                 pooled.append(z)

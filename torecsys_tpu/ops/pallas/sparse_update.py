@@ -219,6 +219,284 @@ def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
     return outs[0], list(outs[1:])
 
 
+TILE_P = 512   # sorted positions per grid program (fused dedup+update kernel)
+
+
+def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
+    """Fully-fused dedup + optimizer kernel over a SORTED slot-grad stream.
+
+    Replaces the XLA-side one-hot widen + 128-lane segment_sum + compact-gsum
+    materialization (measured ~1 ms/step at Criteo shapes, SPEED.md) with
+    in-kernel VPU widening and an MXU one-hot segment combine, then applies
+    the optimizer to each finalized row with the same windowed-DMA
+    read-modify-write machinery as the post-dedup kernel.
+
+    Per grid program (one tile of TILE_P sorted positions):
+      1. widen: place each narrow (E,) grad into its in-row slot of a
+         (TILE_P, P*E) tile via an iota==lo mask (VPU);
+      2. combine: partial[s] = Σ_p [seg_local[p] == s] · wide[p] — ONE
+         (TILE_P, TILE_P) x (TILE_P, W) matmul on the MXU (duplicate ids are
+         adjacent in the sorted stream, so segments are contiguous);
+      3. carry: a segment spanning a tile boundary accumulates through a
+         persistent VMEM carry row (TPU grids run sequentially) and is
+         finalized exactly once, in the tile where it ends;
+      4. update: windowed-DMA RMW of the finalized rows (table + slots),
+         optimizer math vectorized over the whole tile.
+
+    Kernel operand order (PrefetchScalarGridSpec):
+      scalar-prefetch: uids, first_seg, last_seg, cont, hyper
+      blocked VMEM:    seg (1,TILE_P), lo (1,TILE_P), g (1,TILE_P,E)
+      ANY:             table, *slots  (aliased to outputs)
+      scratch:         partial (TILE_P,W), per-array row scratch, carry (1,W),
+                       DMA semaphores
+    """
+    w = pack * embed
+
+    def kernel(uids_ref, first_seg_ref, last_seg_ref, cont_ref, hyper_ref,
+               seg_ref, lo_ref, g_ref, *refs):
+        n_arr = 1 + num_slots
+        hbm_in = refs[:n_arr]
+        hbm_out = refs[n_arr:2 * n_arr]
+        partial_scr = refs[2 * n_arr]
+        scratch = refs[2 * n_arr + 1: 3 * n_arr + 1]
+        carry_scr = refs[3 * n_arr + 1]
+        sems = refs[-1]
+        num_rows = hbm_in[0].shape[0]
+
+        t = pl.program_id(0)
+        base_seg = first_seg_ref[t]
+        nseg = last_seg_ref[t] - base_seg + 1
+        cont_in = cont_ref[t]
+        cont_out = cont_ref[t + 1]
+        n_fin = nseg - cont_out  # segments finalized in this tile
+
+        # ---- widen + segment combine (VPU + MXU) --------------------------
+        g = g_ref[0]                        # (TILE_P, E)
+        lo = lo_ref[0, 0, :]                # (TILE_P,)
+        seg_local = seg_ref[0, 0, :] - base_seg
+        if pack > 1:
+            # 2-D widen (Mosaic cannot shape-cast (TILE_P, P, E) ->
+            # (TILE_P, P*E)): lane c of the wide row holds g[:, c % E] iff
+            # this row's slot is c // E.
+            lane_slot = jax.lax.broadcasted_iota(jnp.int32, (TILE_P, w), 1) // embed
+            g_rep = pltpu.repeat(g, pack, axis=1)          # [g | g | ... ]
+            wide = jnp.where(lane_slot == lo[:, None], g_rep,
+                             jnp.zeros((), g.dtype))
+        else:
+            wide = g
+        seg_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_P, TILE_P), 0)
+        onehot = (seg_iota == seg_local[None, :]).astype(wide.dtype)
+        partial_scr[:] = jax.lax.dot(
+            onehot, wide, preferred_element_type=jnp.float32
+        )
+
+        # ---- boundary carry ----------------------------------------------
+        @pl.when(cont_in == 1)
+        def _():
+            partial_scr[0:1, :] += carry_scr[:]
+
+        @pl.when(cont_out == 1)
+        def _():
+            carry_scr[:] = partial_scr[pl.ds(nseg - 1, 1), :]
+
+        # ---- windowed-DMA RMW of finalized rows ---------------------------
+        def read_dma(a, i):
+            return pltpu.make_async_copy(
+                hbm_in[a].at[pl.ds(uids_ref[base_seg + i], 1)],
+                scratch[a].at[pl.ds(i, 1)],
+                sems.at[a, i % WINDOW],
+            )
+
+        def write_dma(a, i):
+            return pltpu.make_async_copy(
+                scratch[a].at[pl.ds(i, 1)],
+                hbm_out[a].at[pl.ds(uids_ref[base_seg + i], 1)],
+                sems.at[a, i % WINDOW],
+            )
+
+        def phase(dma_fn):
+            # same start/wait sentinel-balanced pipeline as _make_kernel;
+            # bounds: i in [0, n_fin) with sentinel-row skip (the padded tail
+            # of the last tile maps to uids == num_rows)
+            # Predicates evaluate both operands, so every uids_ref index in a
+            # predicate is clamped into [0, len(uids)) — base_seg + i can run
+            # past the buffer on the last tiles where the guard is False.
+            max_idx = uids_ref.shape[0] - 1
+
+            def step(i):
+                @pl.when(jnp.logical_and(
+                    i < n_fin,
+                    uids_ref[jnp.minimum(base_seg + i, max_idx)] < num_rows,
+                ))
+                def _():
+                    for a in range(1 + num_slots):
+                        dma_fn(a, i).start()
+
+                @pl.when(jnp.logical_and(
+                    i >= WINDOW,
+                    jnp.logical_and(
+                        i - WINDOW < n_fin,
+                        uids_ref[
+                            jnp.clip(base_seg + i - WINDOW, 0, max_idx)
+                        ] < num_rows,
+                    ),
+                ))
+                def _():
+                    for a in range(1 + num_slots):
+                        dma_fn(a, i - WINDOW).wait()
+
+            def body(c, _):
+                for u in range(UNROLL):
+                    step(c * UNROLL + u)
+                return 0
+
+            n_chunks = (n_fin + WINDOW + UNROLL - 1) // UNROLL
+            jax.lax.fori_loop(0, n_chunks, body, 0)
+
+        phase(read_dma)
+
+        # ---- vectorized optimizer math over the tile ----------------------
+        lr = hyper_ref[0]
+        b1 = hyper_ref[1]
+        b2 = hyper_ref[2]
+        eps = hyper_ref[3]
+        wd = hyper_ref[4]
+        bc1 = hyper_ref[5]
+        bc2 = hyper_ref[6]
+        gsum = partial_scr[:]
+        row = scratch[0][:]
+        if rule == "adam":
+            m_new = b1 * scratch[1][:, 0, :] + (1.0 - b1) * gsum
+            v_new = b2 * scratch[1][:, 1, :] + (1.0 - b2) * gsum * gsum
+            upd = lr * ((m_new * bc1) / (jnp.sqrt(v_new * bc2) + eps))
+            upd = upd + lr * wd * row
+            scratch[1][:, 0, :] = m_new
+            scratch[1][:, 1, :] = v_new
+        elif rule == "adagrad":
+            v_new = scratch[1][:] + gsum * gsum
+            upd = lr * gsum * jax.lax.rsqrt(v_new + eps)
+            scratch[1][:] = v_new
+        else:  # sgd
+            upd = lr * gsum
+        scratch[0][:] = row - upd
+
+        phase(write_dma)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("pack", "rule", "interpret")
+)
+def _fused_sorted_update(sorted_ids, g_sorted, table, slots, hyper, pack,
+                         rule, interpret=False):
+    from torecsys_tpu.ops.sparse import prefix_sum
+
+    m, e = g_sorted.shape
+    num_rows = table.shape[0]
+    sentinel = num_rows * pack
+    pad = (-m) % TILE_P
+    if pad:
+        sorted_ids = jnp.pad(sorted_ids, (0, pad), constant_values=sentinel)
+        g_sorted = jnp.pad(g_sorted, ((0, pad), (0, 0)))
+    mp = m + pad
+    t_tiles = mp // TILE_P
+
+    sorted_ids = sorted_ids.astype(jnp.int32)
+    hi = sorted_ids // pack
+    lo = sorted_ids % pack
+    is_first = jnp.concatenate([jnp.ones((1,), bool), hi[1:] != hi[:-1]])
+    seg = prefix_sum(is_first.astype(jnp.int32)) - 1
+    # segment s's stored-row id (sentinel rows land at >= num_rows and are
+    # skipped by the kernel's row-bound predicate)
+    uids = jnp.full((mp,), num_rows, jnp.int32).at[seg].set(
+        hi, indices_are_sorted=True
+    )
+    first_seg = jnp.concatenate([seg[::TILE_P], seg[-1:] + 1])
+    last_seg = seg[TILE_P - 1::TILE_P]
+    cont_mid = (seg[TILE_P::TILE_P] == seg[TILE_P - 1::TILE_P][:-1]).astype(jnp.int32)
+    cont = jnp.concatenate([jnp.zeros((1,), jnp.int32), cont_mid,
+                            jnp.zeros((1,), jnp.int32)])
+
+    n_arr = 1 + len(slots)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # uids, first_seg, last_seg, cont, hyper
+        grid=(t_tiles,),
+        in_specs=[
+            # (T, 1, TILE_P) int blocks: Mosaic requires the last two block
+            # dims be (8k, 128k) or equal the array dims — the dummy middle
+            # dim makes (1, TILE_P) satisfy that.
+            pl.BlockSpec((1, 1, TILE_P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # seg
+            pl.BlockSpec((1, 1, TILE_P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # lo
+            pl.BlockSpec((1, TILE_P, e), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # g
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
+        scratch_shapes=[pltpu.VMEM((TILE_P, table.shape[1]), jnp.float32)]
+        + [pltpu.VMEM((TILE_P, *a.shape[1:]), a.dtype) for a in (table, *slots)]
+        + [pltpu.VMEM((1, table.shape[1]), jnp.float32)]
+        + [pltpu.SemaphoreType.DMA((n_arr, WINDOW))],
+    )
+    out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (table, *slots)]
+    # flattened inputs: uids, first_seg, last_seg, cont, hyper, seg, lo, g,
+    # table, *slots → alias table/slots onto the outputs
+    aliases = {8 + a: a for a in range(n_arr)}
+    outs = pl.pallas_call(
+        _make_dedup_kernel(len(slots), rule, pack, e),
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * TILE_P * table.shape[1],
+            bytes_accessed=2 * n_arr * mp * table.shape[1] * 4,
+            transcendentals=0,
+        ),
+    )(uids, first_seg, last_seg, cont, hyper,
+      seg.reshape(t_tiles, 1, TILE_P), lo.reshape(t_tiles, 1, TILE_P),
+      g_sorted.reshape(t_tiles, TILE_P, e), table, *slots)
+    return outs[0], list(outs[1:])
+
+
+def fused_sorted_dedup_update(
+    sorted_ids: jnp.ndarray,
+    g_sorted: jnp.ndarray,
+    table: jnp.ndarray,
+    slots: Tuple[jnp.ndarray, ...],
+    hyper: jnp.ndarray,
+    pack: int,
+    rule: str,
+    interpret: bool = False,
+):
+    """Dedup + row-wise optimizer update fused into one kernel pass.
+
+    Args:
+        sorted_ids: ``(M,)`` int32 **logical** row ids sorted ascending
+            (duplicates allowed — this kernel does the dedup); sentinel
+            padding must be ``>= num_stored_rows * pack``.
+        g_sorted: ``(M, E)`` narrow per-slot grads, permuted to match
+            ``sorted_ids``.
+        table: ``(R, P*E)`` packed stored table.
+        slots: optimizer slot arrays (see :func:`fused_rowwise_update`).
+        hyper: ``(7,)`` f32 hyperparameter vector.
+        pack: logical rows per stored row (``P``).
+        rule: 'adam' | 'adagrad' | 'sgd'.
+
+    Returns:
+        (new_table, [new_slots...]) — aliased onto the inputs on TPU.
+    """
+    assert rule in ("adam", "adagrad", "sgd"), rule
+    return _fused_sorted_update(
+        sorted_ids, g_sorted, table, tuple(slots), hyper, pack, rule,
+        interpret=interpret,
+    )
+
+
 def fused_rowwise_update(
     uids: jnp.ndarray,
     gsum: jnp.ndarray,

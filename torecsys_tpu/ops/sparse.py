@@ -237,8 +237,82 @@ def _fused_eligible(rows_view: jnp.ndarray) -> bool:
     )
 
 
+def sort_slot_grads(ids: jnp.ndarray, grads: jnp.ndarray):
+    """Sort per-slot grads by id: ``(B, K) ids, (B, K, E) grads →
+    (M,) sorted ids, (M, E) permuted grads`` — the input contract of the
+    fused dedup+update kernel (``ops.pallas.sparse_update``).  The
+    permutation moves the *narrow* grads (8x less gather traffic than
+    permuting widened rows)."""
+    e = grads.shape[-1]
+    flat_ids = ids.reshape(-1).astype(jnp.int32)
+    flat_g = grads.reshape(-1, e)
+    m = flat_ids.shape[0]
+    sorted_ids, order = jax.lax.sort_key_val(
+        flat_ids, jnp.arange(m, dtype=jnp.int32)
+    )
+    return sorted_ids, jnp.take(flat_g, order, axis=0)
+
+
+class _RowOptimizerBase:
+    """Shared sorted-stream entry point of the row-wise optimizers.
+
+    ``update_sorted`` consumes the raw sorted (id, grad) stream.  Default
+    path: the XLA combine (:func:`_combine_sorted_stored` — one-hot einsum
+    widen + sorted segment_sum) feeding the dynamic-grid post-dedup Pallas
+    kernel via ``update``.
+
+    An alternative FULLY-fused kernel (in-kernel widen + MXU segment
+    combine + boundary carry + row RMW in one pass —
+    ``ops/pallas/sparse_update.fused_sorted_dedup_update``) exists behind
+    ``TORECSYS_TPU_FUSED_DEDUP=1``.  Measured on v5e (SPEED.md) it TIES the
+    default at 500k rows (3.75 vs 3.73 ms/step) and LOSES at scale (4.97 vs
+    4.26 at 8M; 5.35 vs 4.59 at 30M): its per-tile MXU combine + the 208
+    fixed grid tiles' short RMW bursts drain the DMA pipeline more than the
+    XLA segment-sum costs.  Kept opt-in, tested, as an honest negative
+    result — the default is the measured winner, not the fancier kernel.
+    """
+
+    def hyper_and_rule(self, step):
+        raise NotImplementedError
+
+    def _slot_tuple(self, slots, w):
+        return ()
+
+    def _slots_from_tuple(self, new_slots, slots):
+        return {}
+
+    def update_sorted(self, table, slots, sorted_ids, g_sorted, step,
+                      interpret=False):
+        import os
+
+        e = g_sorted.shape[-1]
+        shape = table.shape
+        w = shape[-1]
+        pack = w // e
+        tbl = table.reshape(-1, w)
+        use_fused_dedup = os.environ.get("TORECSYS_TPU_FUSED_DEDUP", "0") in (
+            "1", "true", "on",
+        )
+        if (use_fused_dedup and _fused_eligible(tbl)) or interpret:
+            from torecsys_tpu.ops.pallas.sparse_update import (
+                fused_sorted_dedup_update,
+            )
+
+            hyper, rule = self.hyper_and_rule(step)
+            slot_tuple = self._slot_tuple(slots, w)
+            new_t, new_slots = fused_sorted_dedup_update(
+                sorted_ids, g_sorted, tbl, slot_tuple, hyper, pack, rule,
+                interpret=interpret,
+            )
+            return new_t.reshape(shape), self._slots_from_tuple(new_slots, slots)
+        uids, gsum = _combine_sorted_stored(
+            sorted_ids, g_sorted, pack, tbl.shape[0]
+        )
+        return self.update(table, slots, uids, gsum, step)
+
+
 @dataclasses.dataclass(frozen=True)
-class RowAdam:
+class RowAdam(_RowOptimizerBase):
     """Lazy row-wise Adam(W) over an embedding table.
 
     Matches ``optax.adam`` / ``optax.adamw`` math on the touched rows
@@ -268,6 +342,22 @@ class RowAdam:
         """Unfused (m, v) views of the slots — convenience for tests."""
         return slots["mv"][..., 0, :], slots["mv"][..., 1, :]
 
+    def hyper_and_rule(self, step):
+        t = (step + 1).astype(jnp.float32)
+        bc1 = 1.0 / (1.0 - jnp.power(self.b1, t))
+        bc2 = 1.0 / (1.0 - jnp.power(self.b2, t))
+        return jnp.stack([
+            jnp.float32(self.learning_rate), jnp.float32(self.b1),
+            jnp.float32(self.b2), jnp.float32(self.eps),
+            jnp.float32(self.weight_decay), bc1, bc2,
+        ]), "adam"
+
+    def _slot_tuple(self, slots, w):
+        return (slots["mv"].reshape(-1, 2, w),)
+
+    def _slots_from_tuple(self, new_slots, slots):
+        return {"mv": new_slots[0].reshape(slots["mv"].shape)}
+
     def update(self, table, slots, uids, gsum, step):
         e = gsum.shape[-1]
         shape = table.shape
@@ -280,11 +370,7 @@ class RowAdam:
         if _fused_eligible(tbl):
             from torecsys_tpu.ops.pallas.sparse_update import fused_rowwise_update
 
-            hyper = jnp.stack([
-                jnp.float32(self.learning_rate), jnp.float32(self.b1),
-                jnp.float32(self.b2), jnp.float32(self.eps),
-                jnp.float32(self.weight_decay), bc1, bc2,
-            ])
+            hyper, _ = self.hyper_and_rule(step)
             new_t, (new_mv,) = fused_rowwise_update(
                 uids, gsum, tbl, (mv,), hyper, "adam"
             )
@@ -304,7 +390,7 @@ class RowAdam:
 
 
 @dataclasses.dataclass(frozen=True)
-class RowAdagrad:
+class RowAdagrad(_RowOptimizerBase):
     """Lazy row-wise Adagrad (matches ``optax.adagrad``'s scale_by_rss)."""
 
     learning_rate: float = 1e-3
@@ -314,6 +400,18 @@ class RowAdagrad:
     def init(self, table: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return {"v": jnp.full_like(table, self.initial_accumulator_value)}
 
+    def hyper_and_rule(self, step):
+        return jnp.stack([
+            jnp.float32(self.learning_rate), jnp.float32(0), jnp.float32(0),
+            jnp.float32(self.eps), jnp.float32(0), jnp.float32(1), jnp.float32(1),
+        ]), "adagrad"
+
+    def _slot_tuple(self, slots, w):
+        return (slots["v"].reshape(-1, w),)
+
+    def _slots_from_tuple(self, new_slots, slots):
+        return {"v": new_slots[0].reshape(slots["v"].shape)}
+
     def update(self, table, slots, uids, gsum, step):
         e = gsum.shape[-1]
         shape = table.shape
@@ -321,10 +419,7 @@ class RowAdagrad:
         if _fused_eligible(tbl):
             from torecsys_tpu.ops.pallas.sparse_update import fused_rowwise_update
 
-            hyper = jnp.stack([
-                jnp.float32(self.learning_rate), jnp.float32(0), jnp.float32(0),
-                jnp.float32(self.eps), jnp.float32(0), jnp.float32(1), jnp.float32(1),
-            ])
+            hyper, _ = self.hyper_and_rule(step)
             new_t, (new_v,) = fused_rowwise_update(
                 uids, gsum, tbl, (v,), hyper, "adagrad"
             )
@@ -340,13 +435,19 @@ class RowAdagrad:
 
 
 @dataclasses.dataclass(frozen=True)
-class RowSGD:
+class RowSGD(_RowOptimizerBase):
     """Row-wise plain SGD (no momentum — momentum configs fall back dense)."""
 
     learning_rate: float = 1e-3
 
     def init(self, table: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return {}
+
+    def hyper_and_rule(self, step):
+        return jnp.stack([
+            jnp.float32(self.learning_rate), jnp.float32(0), jnp.float32(0),
+            jnp.float32(0), jnp.float32(0), jnp.float32(1), jnp.float32(1),
+        ]), "sgd"
 
     def update(self, table, slots, uids, gsum, step):
         e = gsum.shape[-1]
@@ -355,10 +456,7 @@ class RowSGD:
         if _fused_eligible(tbl):
             from torecsys_tpu.ops.pallas.sparse_update import fused_rowwise_update
 
-            hyper = jnp.stack([
-                jnp.float32(self.learning_rate), jnp.float32(0), jnp.float32(0),
-                jnp.float32(0), jnp.float32(0), jnp.float32(1), jnp.float32(1),
-            ])
+            hyper, _ = self.hyper_and_rule(step)
             new_t, _ = fused_rowwise_update(uids, gsum, tbl, (), hyper, "sgd")
             return new_t.reshape(shape), {}
         row_u = _take0(tbl, uids)

@@ -23,6 +23,8 @@ from torecsys_tpu.parallel.lookup import (
     maybe_sharded_lookup,
     maybe_sharded_packed_lookup,
     sharded_lookup,
+    sharded_lookup_alltoall,
+    sharded_packed_lookup_alltoall,
     sharded_packed_lookup,
     use_sharded_lookup,
 )
@@ -45,6 +47,8 @@ __all__ = [
     "shard_batch",
     "shard_params",
     "sharded_lookup",
+    "sharded_lookup_alltoall",
+    "sharded_packed_lookup_alltoall",
     "sharded_packed_lookup",
     "use_sharded_lookup",
 ]

@@ -39,6 +39,19 @@ class LookupContext:
     mesh: jax.sharding.Mesh
     data_axis: str = DATA_AXIS
     table_axis: str = TABLE_AXIS
+    # Collective strategy: "psum" (contribute-and-psum — one dense collective,
+    # payload (B/dp, K, E) regardless of duplicates) or "alltoall" (unique-id
+    # exchange — dedup locally, send each unique id to its owning shard,
+    # return only the owned rows; wins when unique ids ≪ slots, i.e. the
+    # Zipf-heavy production regime).  See SPEED.md for the comm-volume table.
+    strategy: str = "psum"
+    # Per-destination id capacity of the all-to-all exchange, as a fraction
+    # of the local slot count: capacity = ceil(factor * M_local / num_shards).
+    # Worst-case correctness needs factor = num_shards (every id owned by one
+    # shard); the default 2.0 covers realistic hash-distributed ids and any
+    # overflow POISONS the output with NaN (loud failure) rather than
+    # silently dropping lookups.
+    capacity_factor: float = 2.0
     # Tables smaller than this many (stored) rows take the plain-gather path:
     # placement replicates them (parallel.sharding table-wise strategy), so
     # routing them through the contribute-and-psum collective would add psum
@@ -96,6 +109,8 @@ def maybe_sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
         return jnp.take(table, ids, axis=0)
     if table.shape[0] < ctx.min_rows_to_shard:
         return jnp.take(table, ids, axis=0)
+    if ctx.strategy == "alltoall":
+        return sharded_lookup_alltoall(table, ids, ctx)
     return sharded_lookup(table, ids, ctx)
 
 
@@ -127,6 +142,8 @@ def maybe_sharded_packed_lookup(
         or packed_table.shape[0] < ctx.min_rows_to_shard
     ):
         return packed_lookup(packed_table, ids, embed_size)
+    if ctx.strategy == "alltoall":
+        return sharded_packed_lookup_alltoall(packed_table, ids, embed_size, ctx)
     return sharded_packed_lookup(packed_table, ids, embed_size, ctx)
 
 
@@ -177,6 +194,197 @@ def sharded_packed_lookup(
         out_specs=P(ctx.data_axis, None, None),
     )(packed_table, hi, lo)
     return out.reshape(*orig_shape, embed_size)
+
+
+def _dedup_ids(flat_ids: jnp.ndarray):
+    """Static-size dedup of a 1-D int stream.
+
+    Returns ``(uids, inv, n_unique)``: ascending unique ids sentinel-padded
+    with ``INT32_MAX`` to the input length, the inverse map (each input
+    slot's index into ``uids``), and the unique count."""
+    from torecsys_tpu.ops.sparse import prefix_sum
+
+    m = flat_ids.shape[0]
+    ids32 = flat_ids.astype(jnp.int32)
+    sorted_ids, order = jax.lax.sort_key_val(ids32, jnp.arange(m, dtype=jnp.int32))
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_ids[1:] != sorted_ids[:-1]]
+    )
+    seg = prefix_sum(is_first.astype(jnp.int32)) - 1
+    n_unique = seg[-1] + 1
+    sentinel = jnp.iinfo(jnp.int32).max
+    uids = jnp.full((m,), sentinel, jnp.int32).at[seg].set(
+        sorted_ids, indices_are_sorted=True
+    )
+    inv = jnp.zeros((m,), jnp.int32).at[order].set(seg)
+    return uids, inv, n_unique
+
+
+def _alltoall_unique_rows(shard: jnp.ndarray, flat_ids: jnp.ndarray,
+                          ctx: LookupContext):
+    """Inside shard_map: fetch the rows of ``flat_ids`` from the row-sharded
+    (global) table via a unique-id all-to-all exchange.
+
+    Steps (SURVEY.md §7 hard part #1): local static-size dedup → partition
+    unique ids by owning shard (they are contiguous runs of the sorted unique
+    list) → all-to-all the id buckets → each shard gathers its owned rows →
+    all-to-all the rows back → re-expand to the original slots.  Autodiff
+    transposes the collective pair into the correct scatter-add of gradients
+    into the owning shard.
+
+    Returns ``(rows (M, E_row), overflow flag)`` — overflow means a
+    destination bucket exceeded the static capacity; callers poison the
+    output (NaN) so the failure is loud, never silent.
+    """
+    ts = ctx.mesh.shape[ctx.table_axis]
+    shard_rows = shard.shape[0]
+    m = flat_ids.shape[0]
+    cap = max(1, int(-(-m * ctx.capacity_factor // ts)))
+    cap = min(cap, m)
+
+    uids, inv, n_unique = _dedup_ids(flat_ids)
+    valid = jnp.arange(m, dtype=jnp.int32) < n_unique
+    # owner: ts for the sentinel tail, -1 for negative (slot-padding) ids —
+    # both excluded from every destination's count
+    owner = jnp.where(valid, jnp.where(uids >= 0, uids // shard_rows, -1), ts)
+    # unique ids ascend → owners ascend → each destination's ids are one
+    # contiguous run [start_d, start_d + count_d); negative-id entries sort
+    # to the HEAD of the unique list, so every run is offset by their count
+    counts = jnp.sum(
+        owner[None, :] == jnp.arange(ts, dtype=jnp.int32)[:, None], axis=1
+    )  # (ts,)
+    n_neg = jnp.sum(owner == -1, dtype=jnp.int32)
+    starts = n_neg + jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
+    )
+    overflow = jnp.any(counts > cap)
+
+    # send[d, j] = uids[starts[d] + j] for j < counts[d], else local-row
+    # sentinel (shard_rows → gathers a zero row on the owner)
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    gather_idx = jnp.minimum(starts[:, None] + j, m - 1)
+    send = jnp.where(
+        j < counts[:, None], jnp.take(uids, gather_idx), jnp.int32(-1)
+    )  # (ts, cap) global ids, -1 padding
+
+    recv = jax.lax.all_to_all(send, ctx.table_axis, 0, 0)  # (ts, cap)
+    base = jax.lax.axis_index(ctx.table_axis) * shard_rows
+    local = recv - base
+    ok = (local >= 0) & (local < shard_rows) & (recv >= 0)
+    owned_rows = jnp.take(shard, jnp.where(ok, local, 0), axis=0)
+    owned_rows = jnp.where(ok[..., None], owned_rows, 0.0)  # (ts, cap, E)
+
+    rows_back = jax.lax.all_to_all(owned_rows, ctx.table_axis, 0, 0)
+    # unique index u lives at rows_back[owner[u], u - starts[owner[u]]]
+    u = jnp.arange(m, dtype=jnp.int32)
+    own_u = jnp.minimum(owner, ts - 1)
+    pos_u = jnp.clip(u - jnp.take(starts, own_u), 0, cap - 1)
+    rows_unique = rows_back[own_u, pos_u]  # (m, E)
+    rows = jnp.take(rows_unique, inv, axis=0)
+    return rows, overflow
+
+
+def _slots_split_for_alltoall(ids: jnp.ndarray, ts: int):
+    """Flatten + pad the slot axis so it splits evenly over the table axis.
+
+    The slot dimension is SHARDED over ``table`` (not replicated): each
+    table-axis program dedups and exchanges only its own slice of the
+    lookups.  That both divides the dedup work ts-ways and keeps the
+    shard_map output non-replicated, so autodiff transposes the exchange
+    into exactly one gradient contribution per slot (a replicated-request
+    formulation would overcount by ts).  Padding uses ``-1`` (never owned,
+    never sent; its output rows are garbage and sliced away).
+    """
+    b = ids.shape[0]
+    flat = ids.reshape(b, -1)
+    k = flat.shape[1]
+    pad = (-k) % ts
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, pad)), constant_values=-1)
+    return flat, k
+
+
+def sharded_lookup_alltoall(
+    table: jnp.ndarray, ids: jnp.ndarray, ctx: LookupContext
+) -> jnp.ndarray:
+    """Row-sharded lookup via unique-id all-to-all (vs contribute-and-psum).
+
+    Comm volume per step and device (E = row width, M = local slots, U =
+    unique ids, ts = shards): psum moves ~2·M·E floats through the reduction
+    regardless of duplicates; this path moves 2·ts·cap ids + 2·ts·cap·E row
+    floats with cap ≈ capacity_factor·(M/ts)/ts per slot-slice — for
+    Zipf-skewed production ids (U ≪ M) the row payload shrinks by ~M/U.
+    Measured table: SPEED.md.
+    """
+    mesh = ctx.mesh
+    ts = mesh.shape[ctx.table_axis]
+    orig_shape = ids.shape
+    flat_ids, k = _slots_split_for_alltoall(ids, ts)
+
+    v = table.shape[0]
+    pad = (-v) % ts
+    if pad:
+        table = jnp.pad(table, ((0, pad), (0, 0)))
+
+    def _local(table_shard, ids_local):
+        rows, overflow = _alltoall_unique_rows(
+            table_shard, ids_local.reshape(-1), ctx
+        )
+        rows = jnp.where(overflow, jnp.nan, rows)
+        return rows.reshape(*ids_local.shape, table_shard.shape[1])
+
+    out = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(ctx.table_axis, None), P(ctx.data_axis, ctx.table_axis)),
+        out_specs=P(ctx.data_axis, ctx.table_axis, None),
+    )(table, flat_ids)
+    return out[:, :k].reshape(*orig_shape, table.shape[1])
+
+
+def sharded_packed_lookup_alltoall(
+    packed_table: jnp.ndarray,
+    ids: jnp.ndarray,
+    embed_size: int,
+    ctx: LookupContext,
+) -> jnp.ndarray:
+    """Packed-layout unique-id all-to-all lookup.
+
+    Dedup happens at the STORED-row level (``id // P``), so the exchanged
+    rows are full 128-lane transactions and P logical ids sharing a stored
+    row cost one exchange entry; the in-row slot is decoded locally after
+    the exchange.
+    """
+    mesh = ctx.mesh
+    ts = mesh.shape[ctx.table_axis]
+    pack = packed_table.shape[1] // embed_size
+    orig_shape = ids.shape
+    flat_ids, k = _slots_split_for_alltoall(ids, ts)
+
+    vp = packed_table.shape[0]
+    pad = (-vp) % ts
+    if pad:
+        packed_table = jnp.pad(packed_table, ((0, pad), (0, 0)))
+
+    def _local(shard, ids_local):
+        flat = ids_local.reshape(-1)
+        # -1 slot padding must stay un-owned after the hi/lo split
+        hi = jnp.where(flat >= 0, flat // pack, -1)
+        lo = jnp.maximum(flat, 0) % pack
+        wide, overflow = _alltoall_unique_rows(shard, hi, ctx)
+        wide = wide.reshape(-1, pack, embed_size)
+        oh = jax.nn.one_hot(lo, pack, dtype=wide.dtype)
+        rows = jnp.einsum("mp,mpe->me", oh, wide)
+        rows = jnp.where(overflow, jnp.nan, rows)
+        return rows.reshape(*ids_local.shape, embed_size)
+
+    out = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(P(ctx.table_axis, None), P(ctx.data_axis, ctx.table_axis)),
+        out_specs=P(ctx.data_axis, ctx.table_axis, None),
+    )(packed_table, flat_ids)
+    return out[:, :k].reshape(*orig_shape, embed_size)
 
 
 def sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray, ctx: LookupContext) -> jnp.ndarray:

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from torecsys_tpu.ops.sparse import dedup_sum_fields, use_sparse_embedding_grads
+from torecsys_tpu.ops.sparse import sort_slot_grads, use_sparse_embedding_grads
 from torecsys_tpu.train.pipeline import Pipeline
 from torecsys_tpu.train.sparse import (
     is_hybrid_opt_state,
@@ -209,24 +209,19 @@ def make_train_step(pipeline: Pipeline) -> Callable[[TrainState, Batch], Tuple[T
             tp = table_path_for(pert_path)
             table = tables[tp]
             e = g.shape[-1]
-            # Sown ids keep their (B, fields...) structure; every sparse-path
-            # input module (embeddings.py) emits per-field-offset ids, so the
-            # flattened field columns have disjoint ascending vocab ranges —
-            # the contract dedup_sum_fields exploits to replace one global
-            # ~100k-element sort with K parallel batch-sized sorts (see
-            # ops.sparse.dedup_sum_fields for the math and SPEED.md for the
-            # measured win).
+            # Sort the per-slot grads by row id, then hand the sorted stream
+            # to the row optimizer: on TPU the dedup (one-hot widen + segment
+            # combine) and the touched-row RMW update run fused in ONE Pallas
+            # kernel pass (ops/pallas/sparse_update.fused_sorted_dedup_update);
+            # off-TPU it falls back to the XLA combine.  See SPEED.md.
             ids = sown_ids(mut, pert_path)
             b = ids.shape[0]
-            pack = table.shape[-1] // e
-            uids, gsum = dedup_sum_fields(
-                ids.reshape(b, -1),
-                g.reshape(b, -1, e),
-                pack,
-                table.size // (pack * e),
+            sorted_ids, g_sorted = sort_slot_grads(
+                ids.reshape(b, -1), g.reshape(b, -1, e)
             )
-            new_tables[tp], new_sparse_opt[tp] = row_tx.update(
-                table, state.opt_state["sparse"][tp], uids, gsum, state.step
+            new_tables[tp], new_sparse_opt[tp] = row_tx.update_sorted(
+                table, state.opt_state["sparse"][tp], sorted_ids, g_sorted,
+                state.step,
             )
 
         new_state = state.replace(

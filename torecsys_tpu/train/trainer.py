@@ -45,10 +45,13 @@ from torecsys_tpu.train.steps import (
 
 logger = logging.getLogger(__name__)
 
-# Auto-sparse threshold: total embedding-table elements (~64M = 4M logical
-# rows at E=16 = 256MB f32) above which the touched-rows-only optimizer
-# beats dense updates; see Trainer.init_state and SPEED.md.
-SPARSE_AUTO_MIN_ELEMENTS = 1 << 26
+# Auto-sparse threshold in total embedding-table ELEMENTS (rows x embed).
+# Measured v5e crossover (bench_embed.py, batch 4096x26, E=16, SPEED.md):
+# dense full-table Adam wins below ~0.9M logical rows (500k: dense
+# 3.14 ms/step vs sparse 3.75), the touched-rows path wins above (8M: 4.3 vs
+# 15.2; 30M: 4.6 vs 32.2).  1<<24 elements = 1M rows at E=16 — the same
+# number the comment in init_state refers to.
+SPARSE_AUTO_MIN_ELEMENTS = 1 << 24
 
 
 class Trainer:
@@ -161,10 +164,11 @@ class Trainer:
                 self.pipeline.sequential, variables["params"], batch
             )
             if self.pipeline.sparse_embeddings is None and paths:
-                # Auto mode: the lazy path has a ~fixed per-step cost (dedup +
-                # touched-row kernel) while dense optimizer cost grows with
-                # table size; measured crossover on v5e is ~5M logical rows
-                # (DeepFM, E=16, batch 4096). Below the threshold dense wins.
+                # Auto mode: the lazy path has a ~fixed per-step cost (sort +
+                # fused dedup/update kernel) while dense optimizer cost grows
+                # with table size; measured v5e crossover is ~0.9M logical
+                # rows at E=16 (SPARSE_AUTO_MIN_ELEMENTS = 1M rows x E).
+                # Below the threshold dense wins.
                 from flax import traverse_util
 
                 flat = traverse_util.flatten_dict(variables["params"], sep="/")
