@@ -524,3 +524,16 @@ class TestFusedSortedDedupUpdate:
         t2, s2 = tx.update(table, slots, uids, gsum, jnp.int32(0))
         np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(s1["mv"]), np.asarray(s2["mv"]), rtol=1e-6)
+
+
+def test_sparse_rejects_embedding_key_filter_regularizer():
+    """A regularizer whose key_filter matches the sparse tables would get
+    zero table gradient (silent divergence from dense mode) — must raise."""
+    from torecsys_tpu.layers.regularization import Regularizer
+
+    p = make_pipeline(True, optimizer="Adam")
+    p.set_regularizer(Regularizer(weight_decay=0.01, key_filter="embedding"))
+    tr = Trainer(p, log_every=10_000)
+    batch = full_coverage_batch()
+    with pytest.raises(ValueError, match="key_filter"):
+        tr.fit(lambda: iter([batch]), max_epochs=1)

@@ -167,6 +167,22 @@ def make_train_step(pipeline: Pipeline) -> Callable[[TrainState, Batch], Tuple[T
 
         pert_shapes = probe_perturbations(seq, state.params, features)
         table_paths = {table_path_for(p) for p in pert_shapes}
+        if regularizer is not None and any(
+            getattr(regularizer, "key_filter", "kernel") in tp
+            for tp in table_paths
+        ):
+            # In sparse mode the tables are closed-over constants inside the
+            # loss, so a regularizer whose key_filter matches them would
+            # contribute ZERO gradient to the tables here but a full gradient
+            # in dense mode — a silent semantic divergence. Refuse loudly.
+            raise ValueError(
+                f"Regularizer(key_filter={regularizer.key_filter!r}) matches "
+                f"sparse embedding tables {sorted(table_paths)}; their "
+                "penalty gradient cannot flow on the touched-rows path. "
+                "Use AdamW-style decoupled weight_decay (applied per touched "
+                "row by the row optimizer) or set "
+                "Pipeline.sparse_embeddings=False."
+            )
         dense_params, tables = split_params(state.params, table_paths)
         pert_zeros = {p: jnp.zeros(s.shape, s.dtype) for p, s in pert_shapes.items()}
 
