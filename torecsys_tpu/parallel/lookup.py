@@ -221,7 +221,8 @@ def _dedup_ids(flat_ids: jnp.ndarray):
 
 
 def _alltoall_unique_rows(shard: jnp.ndarray, flat_ids: jnp.ndarray,
-                          ctx: LookupContext):
+                          ctx: LookupContext, rows_per_shard=None,
+                          gather_fn=None, out_width=None):
     """Inside shard_map: fetch the rows of ``flat_ids`` from the row-sharded
     (global) table via a unique-id all-to-all exchange.
 
@@ -232,12 +233,18 @@ def _alltoall_unique_rows(shard: jnp.ndarray, flat_ids: jnp.ndarray,
     transposes the collective pair into the correct scatter-add of gradients
     into the owning shard.
 
+    ``rows_per_shard``/``gather_fn``/``out_width`` generalize the local
+    gather: the packed path exchanges LOGICAL ids and E-float rows (the
+    owner decodes its packed layout locally) so the ICI payload is one
+    logical row per unique id — exchanging 128-lane stored rows instead was
+    measured 8x more collective bytes at E=16 (tools/comm_volume.py).
+
     Returns ``(rows (M, E_row), overflow flag)`` — overflow means a
     destination bucket exceeded the static capacity; callers poison the
     output (NaN) so the failure is loud, never silent.
     """
     ts = ctx.mesh.shape[ctx.table_axis]
-    shard_rows = shard.shape[0]
+    shard_rows = rows_per_shard if rows_per_shard is not None else shard.shape[0]
     m = flat_ids.shape[0]
     cap = max(1, int(-(-m * ctx.capacity_factor // ts)))
     cap = min(cap, m)
@@ -271,7 +278,11 @@ def _alltoall_unique_rows(shard: jnp.ndarray, flat_ids: jnp.ndarray,
     base = jax.lax.axis_index(ctx.table_axis) * shard_rows
     local = recv - base
     ok = (local >= 0) & (local < shard_rows) & (recv >= 0)
-    owned_rows = jnp.take(shard, jnp.where(ok, local, 0), axis=0)
+    safe_local = jnp.where(ok, local, 0)
+    if gather_fn is None:
+        owned_rows = jnp.take(shard, safe_local, axis=0)
+    else:
+        owned_rows = gather_fn(shard, safe_local)
     owned_rows = jnp.where(ok[..., None], owned_rows, 0.0)  # (ts, cap, E)
 
     rows_back = jax.lax.all_to_all(owned_rows, ctx.table_axis, 0, 0)
@@ -367,14 +378,18 @@ def sharded_packed_lookup_alltoall(
         packed_table = jnp.pad(packed_table, ((0, pad), (0, 0)))
 
     def _local(shard, ids_local):
+        from torecsys_tpu.ops.embedding import packed_lookup
+
         flat = ids_local.reshape(-1)
-        # -1 slot padding must stay un-owned after the hi/lo split
-        hi = jnp.where(flat >= 0, flat // pack, -1)
-        lo = jnp.maximum(flat, 0) % pack
-        wide, overflow = _alltoall_unique_rows(shard, hi, ctx)
-        wide = wide.reshape(-1, pack, embed_size)
-        oh = jax.nn.one_hot(lo, pack, dtype=wide.dtype)
-        rows = jnp.einsum("mp,mpe->me", oh, wide)
+        # exchange LOGICAL ids / E-float rows; the owner decodes its packed
+        # (stored-row) layout locally — see _alltoall_unique_rows docstring
+        rows, overflow = _alltoall_unique_rows(
+            shard, flat, ctx,
+            rows_per_shard=shard.shape[0] * pack,
+            gather_fn=lambda sh, local_ids: packed_lookup(
+                sh, local_ids, embed_size
+            ),
+        )
         rows = jnp.where(overflow, jnp.nan, rows)
         return rows.reshape(*ids_local.shape, embed_size)
 

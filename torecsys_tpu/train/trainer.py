@@ -220,9 +220,16 @@ class Trainer:
         return ctx
 
     def _place_batch(self, batch: Dict[str, np.ndarray]):
-        if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
-        return batch
+        if self.mesh is None:
+            return batch
+        if jax.process_count() > 1:
+            # multi-host: each process holds only ITS shard of the global
+            # batch (per-host file sharding); assemble global data-sharded
+            # arrays (SURVEY.md §2.11 backend spec)
+            from torecsys_tpu.parallel.mesh import host_local_batch_to_global
+
+            return host_local_batch_to_global(batch, self.mesh)
+        return shard_batch(batch, self.mesh)
 
     # ---- training -------------------------------------------------------
 
