@@ -537,3 +537,39 @@ def test_sparse_rejects_embedding_key_filter_regularizer():
     batch = full_coverage_batch()
     with pytest.raises(ValueError, match="key_filter"):
         tr.fit(lambda: iter([batch]), max_epochs=1)
+
+
+def test_sharded_row_update_matches_plain(np_rng):
+    """Shard-local row update (shard_map + contiguous-run roll/filter) ==
+    plain single-device update, for every row optimizer."""
+    import jax.numpy as jnp
+
+    from torecsys_tpu.ops.embedding import packed_shape
+    from torecsys_tpu.ops.sparse import (
+        RowAdagrad,
+        RowAdam,
+        RowSGD,
+        dedup_sum_fields,
+        sharded_row_update,
+    )
+    from torecsys_tpu.parallel import LookupContext, make_mesh
+
+    mesh = make_mesh(data=2, table=4)
+    ctx = LookupContext(mesh=mesh, min_rows_to_shard=0)
+    rows, e = 4096, 16
+    vp, w = packed_shape(rows, e)
+    vp -= vp % 4  # divisible by the table axis
+    ids = jnp.asarray(np_rng.integers(0, vp * (w // e), (128, 6)).astype(np.int32))
+    g = jnp.asarray(np_rng.normal(size=(128, 6, e)).astype(np.float32))
+    for tx in (RowAdam(learning_rate=1e-2), RowAdagrad(learning_rate=1e-2),
+               RowSGD(learning_rate=1e-2)):
+        table = jnp.asarray(np_rng.normal(0, 0.1, (vp, w)).astype(np.float32))
+        slots = tx.init(table)
+        uids, gsum = dedup_sum_fields(ids, g, w // e, vp)
+        t1, s1 = tx.update(table, slots, uids, gsum, jnp.int32(1))
+        t2, s2 = sharded_row_update(tx, table, slots, uids, gsum,
+                                    jnp.int32(1), ctx)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s1),
+                        jax.tree_util.tree_leaves(s2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
