@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 256     # unique rows per grid program
-WINDOW = 16    # concurrent row DMAs in flight per phase
+WINDOW = 16    # concurrent row DMAs in flight per phase (32 measured no better)
 UNROLL = 8     # partial unroll of the DMA loop (scalar-core loop overhead
                # dominates otherwise; full unroll explodes compile time)
 
