@@ -87,13 +87,13 @@ def check_kernel_numerics(rng):
     slots = tx.init(table)
 
     @jax.jit
-    def run_postdedup(use_kernel, t, sl):
+    def run_postdedup(t, sl):
         # exercises fused_rowwise_update (dedup done in XLA)
         uids, gsum = dedup_sum_fields(ids, g, pack, vp)
         return tx.update(t, sl, uids, gsum, jnp.int32(3))
 
     @jax.jit
-    def run_sorted(use_kernel, t, sl):
+    def run_sorted(t, sl):
         # exercises fused_sorted_dedup_update (dedup inside the kernel)
         sorted_ids, g_sorted = sort_slot_grads(ids, g)
         return tx.update_sorted(t, sl, sorted_ids, g_sorted, jnp.int32(3))
@@ -102,10 +102,10 @@ def check_kernel_numerics(rng):
     fail = False
     os.environ["TORECSYS_TPU_FUSED_DEDUP"] = "1"  # check the opt-in kernel too
     for name, fn in (("postdedup", run_postdedup), ("sorted", run_sorted)):
-        new_t_k, new_sl_k = fn(True, table, slots)       # kernel path (TPU)
+        new_t_k, new_sl_k = fn(table, slots)             # kernel path (TPU)
         with pallas_mod.disable():                       # XLA fallback path
             new_t_x, new_sl_x = jax.jit(
-                lambda t, sl, fn=fn: fn(False, t, sl)
+                lambda t, sl, fn=fn: fn(t, sl)
             )(table, slots)
         dt = float(jnp.max(jnp.abs(new_t_k - new_t_x)))
         dm = float(jnp.max(jnp.abs(new_sl_k["mv"] - new_sl_x["mv"])))

@@ -133,3 +133,37 @@ def test_csv_train_file(tmp_path):
         "--max_num_iterations", "4",
     ], catch_exceptions=False)
     assert r.exit_code == 0, r.output
+
+
+def test_cli_streaming_train(tmp_path):
+    """--stream=on trains through the chunked iterator (no whole-file load):
+    full CLI path with a small chunk via --stream_chunk_mb floor."""
+    runner = CliRunner()
+    r = runner.invoke(cli, [
+        "train",
+        "--model_config", '{"method": "FM"}',
+        "--train_file", SHARD,
+        "--stream", "on",
+        "--stream_chunk_mb", "1",
+        "--batch_size", "512",
+        "--embed_size", "4",
+        "--criteo_hash_size", "500",
+        "--max_num_iterations", "4",
+    ], catch_exceptions=False)
+    assert r.exit_code == 0, r.output
+    metrics = json.loads(r.output.strip().splitlines()[-1])
+    assert np.isfinite(metrics["train_loss"]), metrics
+
+
+def test_cli_stream_on_rejects_csv(tmp_path):
+    import pandas as pd
+
+    path = str(tmp_path / "t.csv")
+    pd.DataFrame({"a": [1, 2], "label": [0.0, 1.0]}).to_csv(path, index=False)
+    runner = CliRunner()
+    r = runner.invoke(cli, [
+        "train", "--model_config", '{"method": "FM"}',
+        "--train_file", path, "--stream", "on",
+    ])
+    assert r.exit_code != 0
+    assert "criteo" in r.output

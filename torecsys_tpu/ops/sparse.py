@@ -217,26 +217,36 @@ def _put(arr: jnp.ndarray, idx: jnp.ndarray, val: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def _interpret() -> bool:
+    """Run the fused kernels in Pallas interpret mode (CPU rig opt-in)."""
+    from torecsys_tpu.ops import pallas as _pallas
+
+    return _pallas.sparse_interpret()
+
+
 def _fused_eligible(rows_view: jnp.ndarray) -> bool:
     """True when the fused Pallas update kernel can take this table.
 
-    Sharding gate: under an active sharded-lookup mesh the tables are
-    row-sharded (``parallel.sharding``), and ``pallas_call`` has no SPMD
-    partitioning rule — GSPMD would all-gather and replicate the multi-GB
-    table/slot operands on every chip.  Mesh runs instead route through
+    Sharding gate: when the lookup mesh actually SPLITS the table axis the
+    tables are row-sharded (``parallel.sharding``), and ``pallas_call`` has
+    no SPMD partitioning rule — GSPMD would all-gather and replicate the
+    multi-GB table/slot operands on every chip.  Those runs route through
     :func:`sharded_row_update` (shard_map with shard-local id filtering, so
     the same kernel runs per table shard); the plain XLA gather/scatter
     remains the fallback inside each shard when the kernel is unavailable.
+    Pure data-parallel meshes (table axis size 1) and replicated tables keep
+    the kernel: their tables are replicated, so the replicated kernel
+    execution GSPMD falls back to is exactly the single-device semantics
+    (r3 ADVICE: the old gate disabled the kernel for ANY active context).
     """
     from torecsys_tpu.ops import pallas as _pallas
-    from torecsys_tpu.parallel import lookup as _lookup
 
     return (
         rows_view.shape[-1] % 128 == 0
         and rows_view.dtype == jnp.float32
         and _pallas.sparse_update_enabled()
         and (
-            _lookup._context() is None
+            _sharded_update_ctx() is None
             or getattr(_state, "shard_local", False)
         )
     )
@@ -312,6 +322,10 @@ def sharded_row_update(row_tx, table, slots, uids, gsum, step, ctx):
         mesh=ctx.mesh,
         in_specs=(P(ctx.table_axis, None), slot_specs, P(), P(), P()),
         out_specs=(P(ctx.table_axis, None), slot_specs),
+        # pallas_call outputs carry no varying-mesh-axes metadata, which
+        # trips shard_map's vma check; the body is shard-local by
+        # construction (every operand filtered to this shard's rows).
+        check_vma=False,
     )(flat_table, slots, uids, gsum, step)
     return new_flat.reshape(table.shape), new_slots
 
@@ -463,7 +477,8 @@ class RowAdam(_RowOptimizerBase):
 
             hyper, _ = self.hyper_and_rule(step)
             new_t, (new_mv,) = fused_rowwise_update(
-                uids, gsum, tbl, (mv,), hyper, "adam"
+                uids, gsum, tbl, (mv,), hyper, "adam",
+                interpret=_interpret(),
             )
             return new_t.reshape(shape), {"mv": new_mv.reshape(mv_shape)}
         row_u, mv_u = _take0(tbl, uids), _take0(mv, uids)
@@ -512,7 +527,8 @@ class RowAdagrad(_RowOptimizerBase):
 
             hyper, _ = self.hyper_and_rule(step)
             new_t, (new_v,) = fused_rowwise_update(
-                uids, gsum, tbl, (v,), hyper, "adagrad"
+                uids, gsum, tbl, (v,), hyper, "adagrad",
+                interpret=_interpret(),
             )
             return new_t.reshape(shape), {"v": new_v.reshape(shape)}
         row_u, v_u = _take0(tbl, uids), _take0(v, uids)
@@ -548,7 +564,9 @@ class RowSGD(_RowOptimizerBase):
             from torecsys_tpu.ops.pallas.sparse_update import fused_rowwise_update
 
             hyper, _ = self.hyper_and_rule(step)
-            new_t, _ = fused_rowwise_update(uids, gsum, tbl, (), hyper, "sgd")
+            new_t, _ = fused_rowwise_update(
+                uids, gsum, tbl, (), hyper, "sgd", interpret=_interpret(),
+            )
             return new_t.reshape(shape), {}
         row_u = _take0(tbl, uids)
         new_rows = row_u - self.learning_rate * gsum

@@ -5,12 +5,18 @@ embedding tables row-sharded over the ``table`` mesh axis, batches sharded
 over ``data``, lookup = a ``shard_map`` collective in which every table shard
 contributes the rows it owns and the results are summed over ``table``.
 
-Why contribute-and-psum (vs explicit all-to-all of unique ids): it is a single
-dense collective XLA can overlap with compute, it is differentiable for free
-(the transpose is the scatter-add of gradients into the owning shard), and for
-recsys embedding dims (E ≤ 64) the psum payload ``(B/dp, K, E)`` rides ICI
-well under the v5e bandwidth budget. An explicit unique-id all-to-all path is
-the planned optimization behind the same signature.
+Two collective strategies ship behind the same signature:
+
+* ``psum`` (contribute-and-psum): a single dense collective XLA can overlap
+  with compute, differentiable for free (the transpose is the scatter-add of
+  gradients into the owning shard); payload ``(B/dp, K, E)`` regardless of
+  duplicate ids.
+* ``alltoall`` (unique-id exchange): dedup locally, send each unique id to
+  its owning shard, return only the owned rows — wins when unique ids ≪
+  slots (the Zipf-heavy production regime).  Measured comm-volume table in
+  SPEED.md (``tools/comm_volume.py``).
+* ``auto`` (default-able): picks per lookup from the calibrated byte model
+  (:func:`modeled_comm_mb`).
 
 Activation: input modules call :func:`maybe_sharded_lookup`; inside a
 ``with use_sharded_lookup(mesh):`` block (entered before jit-tracing the train
@@ -40,10 +46,12 @@ class LookupContext:
     data_axis: str = DATA_AXIS
     table_axis: str = TABLE_AXIS
     # Collective strategy: "psum" (contribute-and-psum — one dense collective,
-    # payload (B/dp, K, E) regardless of duplicates) or "alltoall" (unique-id
+    # payload (B/dp, K, E) regardless of duplicates), "alltoall" (unique-id
     # exchange — dedup locally, send each unique id to its owning shard,
     # return only the owned rows; wins when unique ids ≪ slots, i.e. the
-    # Zipf-heavy production regime).  See SPEED.md for the comm-volume table.
+    # Zipf-heavy production regime), or "auto" (pick per lookup from the
+    # calibrated byte model, modeled_comm_mb).  SPEED.md has the measured
+    # comm-volume table.
     strategy: str = "psum"
     # Per-destination id capacity of the all-to-all exchange, as a fraction
     # of the local slot count: capacity = ceil(factor * M_local / num_shards).
@@ -70,6 +78,47 @@ class LookupContext:
 
 
 _state = threading.local()
+
+# Calibration anchor for the auto-strategy byte model: the compiled-HLO
+# comm-volume measurement (tools/comm_volume.py, recorded in SPEED.md) at
+# B=4096 × K=26 fields, E=16, ts=8, capacity_factor=2:
+#   psum      fwd+bwd = 18.8 MB   (factor-independent)
+#   alltoall  fwd+bwd = 16.4 MB,  of which the capacity-scaled exchange term
+#             is 2.2 MB — i.e. ~1.1 MB per unit of capacity_factor, the rest
+#             (~14.2 MB) the factor-independent output re-assembly/permutes.
+_CAL_PAYLOAD = 4096 * 26 * 16 * 4.0  # bytes of one (B, K, E) f32 activation
+_CAL_PSUM_MB = 18.8
+_CAL_A2A_BASE_MB = 14.2
+_CAL_A2A_PER_FACTOR_MB = 1.1
+
+
+def modeled_comm_mb(strategy: str, m_slots: int, embed_size: int,
+                    capacity_factor: float = 2.0) -> float:
+    """Modeled per-step (fwd+bwd) collective megabytes for a lookup.
+
+    A linear model anchored to the measured HLO comm volumes above, scaled
+    by the lookup's activation payload ``m_slots × embed_size`` relative to
+    the calibration shape.  Used by strategy="auto" to pick the cheaper
+    collective; implied crossover: alltoall wins while
+    ``capacity_factor < ~4.2`` at the calibration shape.
+    """
+    scale = (m_slots * embed_size * 4.0) / _CAL_PAYLOAD
+    if strategy == "psum":
+        return _CAL_PSUM_MB * scale
+    if strategy == "alltoall":
+        return (_CAL_A2A_BASE_MB
+                + _CAL_A2A_PER_FACTOR_MB * capacity_factor) * scale
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def resolve_strategy(ctx: "LookupContext", m_slots: int,
+                     embed_size: int) -> str:
+    """Resolve ``ctx.strategy`` ("auto" → the modeled-cheaper collective)."""
+    if ctx.strategy != "auto":
+        return ctx.strategy
+    a2a = modeled_comm_mb("alltoall", m_slots, embed_size, ctx.capacity_factor)
+    psum = modeled_comm_mb("psum", m_slots, embed_size)
+    return "alltoall" if a2a < psum else "psum"
 
 
 def _context() -> Optional[LookupContext]:
@@ -109,7 +158,7 @@ def maybe_sharded_lookup(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
         return jnp.take(table, ids, axis=0)
     if table.shape[0] < ctx.min_rows_to_shard:
         return jnp.take(table, ids, axis=0)
-    if ctx.strategy == "alltoall":
+    if resolve_strategy(ctx, ids.size, table.shape[1]) == "alltoall":
         return sharded_lookup_alltoall(table, ids, ctx)
     return sharded_lookup(table, ids, ctx)
 
@@ -142,7 +191,7 @@ def maybe_sharded_packed_lookup(
         or packed_table.shape[0] < ctx.min_rows_to_shard
     ):
         return packed_lookup(packed_table, ids, embed_size)
-    if ctx.strategy == "alltoall":
+    if resolve_strategy(ctx, ids.size, embed_size) == "alltoall":
         return sharded_packed_lookup_alltoall(packed_table, ids, embed_size, ctx)
     return sharded_packed_lookup(packed_table, ids, embed_size, ctx)
 

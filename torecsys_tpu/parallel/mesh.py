@@ -72,7 +72,8 @@ def initialize_distributed(**kwargs) -> None:
 
 
 def host_local_batch_to_global(
-    batch, mesh: jax.sharding.Mesh, data_axis: str = DATA_AXIS
+    batch, mesh: jax.sharding.Mesh, data_axis: str = DATA_AXIS,
+    stacked: bool = False,
 ):
     """Assemble per-process host-local arrays into global data-sharded arrays.
 
@@ -81,10 +82,15 @@ def host_local_batch_to_global(
     stitches the shards into one global array laid out
     ``P(data_axis)`` — the SPMD-correct way to feed a global jitted step
     (SURVEY.md §2.11 backend spec).  Single-process it is a plain device_put.
+
+    ``stacked=True`` handles ``(K, B/host, ...)`` multi-step stacks
+    (``Trainer.steps_per_execution > 1``): the scan axis stays unsharded and
+    the SECOND axis (batch) shards over ``data_axis``.
     """
     from jax.sharding import NamedSharding, PartitionSpec
 
-    sharding = NamedSharding(mesh, PartitionSpec(data_axis))
+    spec = PartitionSpec(None, data_axis) if stacked else PartitionSpec(data_axis)
+    sharding = NamedSharding(mesh, spec)
     return {
         k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
         for k, v in batch.items()

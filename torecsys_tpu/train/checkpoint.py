@@ -48,7 +48,16 @@ def restore_checkpoint(path: str, template: TrainState) -> TrainState:
     try:
         return flax.serialization.from_bytes(template, data)
     except (KeyError, ValueError, TypeError) as e:
-        saved_hybrid = b"sparse" in data[:4096] or b"sparse" in data
+        # Diagnose a layout mismatch from the deserialized STRUCTURE, not a
+        # raw-byte substring scan (a param named "...sparse..." would
+        # mislabel an unrelated failure): the hybrid optimizer state is a
+        # dict with a top-level 'sparse' key under 'opt_state'.
+        try:
+            raw = flax.serialization.msgpack_restore(data)
+            saved_opt = raw.get("opt_state", {})
+            saved_hybrid = isinstance(saved_opt, dict) and "sparse" in saved_opt
+        except Exception:
+            raise e from None
         tmpl_hybrid = (
             isinstance(template.opt_state, dict) and "sparse" in template.opt_state
         )

@@ -219,19 +219,42 @@ class Trainer:
             ctx.enter_context(use_sparse_embedding_grads())
         return ctx
 
-    def _place_batch(self, batch: Dict[str, np.ndarray]):
+    def _place_batch(self, batch: Dict[str, np.ndarray], stacked: bool = False):
         if self.mesh is None:
             return batch
         if jax.process_count() > 1:
             # multi-host: each process holds only ITS shard of the global
             # batch (per-host file sharding); assemble global data-sharded
-            # arrays (SURVEY.md §2.11 backend spec)
+            # arrays (SURVEY.md §2.11 backend spec).  Stacked (K, B/host, ...)
+            # dispatches shard their SECOND axis (the batch axis).
             from torecsys_tpu.parallel.mesh import host_local_batch_to_global
 
-            return host_local_batch_to_global(batch, self.mesh)
-        return shard_batch(batch, self.mesh)
+            return host_local_batch_to_global(batch, self.mesh, stacked=stacked)
+        return shard_batch(batch, self.mesh, stacked=stacked)
 
     # ---- training -------------------------------------------------------
+
+    def _check_finite_loss(self, loss_sum: float, step: int):
+        """Actionable failure on a non-finite loss (r3 VERDICT weak-6: an
+        all-to-all bucket overflow NaN-poisons the lookup; naming the knob
+        beats a silent NaN run)."""
+        if np.isfinite(loss_sum):
+            return
+        msg = f"non-finite training loss at step {step}"
+        strategy = self.lookup_options.get("strategy", "psum")
+        if self.mesh is not None and strategy in ("alltoall", "auto"):
+            cf = self.lookup_options.get("capacity_factor", 2.0)
+            msg += (
+                " — the lookup strategy is "
+                f"{strategy!r}: a likely cause is an all-to-all bucket-"
+                f"capacity overflow (ids concentrated on one table shard); "
+                f"raise lookup_options['capacity_factor'] (currently {cf}, "
+                "worst-case-safe is the table-axis size) or set "
+                "lookup_options['strategy']='psum'"
+            )
+        else:
+            msg += " (diverged training or bad input data)"
+        raise RuntimeError(msg)
 
     @staticmethod
     def _epoch_iter(loader):
@@ -259,6 +282,7 @@ class Trainer:
         metrics: Dict[str, float] = {}
         step = 0
         spe = self.steps_per_execution
+        fresh_compile = self.state is None  # first epoch will pay jit compiles
 
         def dispatch_single(batch):
             placed = self._place_batch(batch)
@@ -272,10 +296,7 @@ class Trainer:
             if len(buf) < spe:  # remainder: single-step dispatches
                 return sum(dispatch_single(b) for b in buf)
             stacked = {k: np.stack([b[k] for b in buf]) for k in buf[0]}
-            if self.mesh is not None:
-                placed = shard_batch(stacked, self.mesh, stacked=True)
-            else:
-                placed = stacked
+            placed = self._place_batch(stacked, stacked=True)
             with self._trace_contexts():
                 self.state, _ = self._train_scan_fn(self.state, placed)
             return len(buf)
@@ -310,6 +331,7 @@ class Trainer:
                     self._profiling = False
                 if step % self.log_every == 0:
                     ls, lc = jax.device_get((self.state.loss_sum, self.state.loss_count))
+                    self._check_finite_loss(float(ls), step)
                     logger.info(
                         "epoch %d step %d loss %.5f", epoch, step, ls / max(lc, 1.0)
                     )
@@ -318,12 +340,18 @@ class Trainer:
             if buf and (max_steps is None or step < max_steps):
                 step += dispatch_stacked(buf)
             ls, lc = jax.device_get((self.state.loss_sum, self.state.loss_count))
+            self._check_finite_loss(float(ls), step)
             elapsed = max(time.time() - t0, 1e-9)
             metrics = {
                 "epoch": epoch,
                 "train_loss": float(ls) / max(float(lc), 1.0),
                 "examples_per_sec": n_examples / elapsed,
             }
+            if epoch == 0 and fresh_compile:
+                # wall-clock above includes the one-time jit compiles; the
+                # steady-state number is the later epochs' (bench.py times
+                # its own compile-free window)
+                metrics["examples_per_sec_includes_compile"] = True
             if val_loader is not None:
                 metrics.update(self.evaluate(val_loader))
             logger.info("epoch %d done: %s", epoch, metrics)
