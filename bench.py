@@ -144,6 +144,114 @@ def measure(sparse_embeddings):
     return BATCH * n_steps / elapsed
 
 
+def _timed_scan(body, init, xs):
+    """bench_embed-protocol timing of a jitted donated lax.scan body."""
+    import jax
+    import jax.numpy as jnp
+
+    scan_fn = jax.jit(
+        lambda carry, all_xs: jax.lax.scan(body, carry, all_xs),
+        donate_argnums=(0,),
+    )
+    carry, _ = scan_fn(init, xs)
+    jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+    jax.device_get(jnp.zeros(()))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        carry, _ = scan_fn(carry, xs)
+    acc = float(np.asarray(jax.tree_util.tree_leaves(carry)[-1]))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
+    return dt / (REPS * SCAN_STEPS) * 1000  # ms/step
+
+
+def breakdown():
+    """Attribute the headline step time across stages (r3 VERDICT #8).
+
+    Stage-isolated scans on the SAME workload (ids, table scale, tower):
+
+      * ``emb_fwd``      — the embedding gather alone (26 fields, ~33M rows)
+      * ``emb_train``    — gather + per-slot grads + sort + dedup + fused
+                           row-wise Adam (the full embedding-path cost)
+      * ``tower``        — the full DeepFM train step with a TINY (2.6k-row)
+                           table: dense tower fwd+bwd+optax dominates, the
+                           embedding cost is negligible → tower attribution
+      * ``full``         — the headline full train step
+
+    Derived: ``emb_update = emb_train - emb_fwd``;
+    ``unattributed = full - emb_train - tower`` (scheduling overlap makes
+    this slightly negative when XLA hides embedding work under the tower —
+    that is signal, not error).  One JSON line per stage + a summary line.
+    """
+    global FIELD_SIZES
+
+    import jax
+    import jax.numpy as jnp
+
+    from torecsys_tpu.ops.embedding import field_offsets, packed_lookup, packed_shape
+    from torecsys_tpu.ops.sparse import RowAdam, sort_slot_grads
+
+    offs = field_offsets(FIELD_SIZES)
+    batches = make_batches()
+    ids = jnp.asarray(np.stack([
+        np.stack([b[f"cat_{i}"] for i in range(len(FIELD_SIZES))], axis=1)
+        for b in batches
+    ]).astype(np.int32) + offs[None, None, :])          # (K, B, N)
+    total = int(sum(FIELD_SIZES))
+    vp, w = packed_shape(total, EMBED)
+    table = jax.jit(
+        lambda k: 0.01 * jax.random.normal(k, (vp, w), jnp.float32)
+    )(jax.random.PRNGKey(0))
+    jax.block_until_ready(table)
+    out = {}
+
+    def fwd_body(carry, step_ids):
+        t, acc = carry
+        o = packed_lookup(t, step_ids, EMBED)
+        return (t, acc + o.sum()), ()
+
+    out["emb_fwd"] = _timed_scan(fwd_body, (table, jnp.zeros(())), ids)
+
+    row_tx = RowAdam(learning_rate=1e-3)
+    slots = row_tx.init(table)
+
+    def train_body(carry, step_ids):
+        t, sl, acc = carry
+        o = packed_lookup(jax.lax.stop_gradient(t), step_ids, EMBED)
+        g = 2.0 * o
+        sid, gs = sort_slot_grads(
+            step_ids.reshape(BATCH, -1), g.reshape(BATCH, -1, EMBED)
+        )
+        t, sl = row_tx.update_sorted(t, sl, sid, gs, jnp.int32(1))
+        return (t, sl, acc + o.sum()), ()
+
+    out["emb_train"] = _timed_scan(train_body, (table, slots, jnp.zeros(())), ids)
+    del table, slots
+
+    # tiny-table run: the tower's share of the full step
+    saved = FIELD_SIZES
+    FIELD_SIZES = tuple([100] * len(saved))
+    try:
+        tower_eps = measure(sparse_embeddings=False)
+    finally:
+        FIELD_SIZES = saved
+    out["tower"] = BATCH / tower_eps * 1000
+
+    full_eps = measure(sparse_embeddings=None)
+    out["full"] = BATCH / full_eps * 1000
+
+    out = {k: round(v, 3) for k, v in out.items()}
+    summary = {
+        "metric": "deepfm_step_breakdown_ms",
+        **out,
+        "emb_update_derived": round(out["emb_train"] - out["emb_fwd"], 3),
+        "unattributed": round(out["full"] - out["emb_train"] - out["tower"], 3),
+        "examples_per_sec_full": round(full_eps, 1),
+    }
+    print(json.dumps(summary))
+    return summary
+
+
 def main():
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     fp = _fingerprint()
@@ -175,4 +283,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--breakdown" in sys.argv:
+        breakdown()
+    else:
+        main()

@@ -238,3 +238,30 @@ def test_pallas_disabled_on_cpu():
     from torecsys_tpu.ops import pallas
 
     assert pallas.enabled() is False
+
+
+def test_unique_stored_gather_matches_take(np_rng):
+    """Dynamic-grid compact stored-row gather == logical-table lookup after
+    expand + slot-select (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torecsys_tpu.ops.embedding import pack_table
+    from torecsys_tpu.ops.pallas import embedding as pe
+    from torecsys_tpu.parallel.lookup import _dedup_ids
+
+    v, e = 5000, 16
+    logical = np_rng.normal(size=(v, e)).astype(np.float32)
+    packed = pack_table(jnp.asarray(logical))
+    pk = packed.shape[1] // e
+    num_logical = packed.shape[0] * pk
+    ids = jnp.asarray(np_rng.integers(0, v, 3000).astype(np.int32))
+    uids, inv, _ = _dedup_ids(ids)
+    uids = jnp.minimum(uids, num_logical)  # INT32_MAX sentinel -> kernel's
+    cw = pe.unique_stored_gather(packed, uids, e, interpret=True)
+    wide = jnp.take(cw, inv, axis=0).reshape(-1, pk, e)
+    lo = jnp.take(uids % pk, inv)
+    oh = jax.nn.one_hot(lo, pk, dtype=wide.dtype)
+    out = jnp.einsum("mp,mpe->me", oh, wide)
+    np.testing.assert_allclose(np.asarray(out), logical[np.asarray(ids)],
+                               rtol=1e-6)

@@ -85,7 +85,12 @@ def run(total_rows: int, stage: str):
     ids = jnp.asarray(ids_np)
     vp, w = packed_shape(total, EMBED)
     pack = w // EMBED
-    table = jnp.asarray(rng.normal(0, 0.01, size=(vp, w)).astype(np.float32))
+    # on-device init: a host-side 1.9 GB normal + tunnel transfer costs
+    # minutes per config at 30M rows; the values don't matter for timing
+    table = (jax.jit(
+        lambda k: 0.01 * jax.random.normal(k, (vp, w), jnp.float32)
+    )(jax.random.PRNGKey(0)))
+    jax.block_until_ready(table)
     # a fixed fake per-slot grad stream (narrow), refreshed per step from ids
     row_tx = RowAdam(learning_rate=1e-3)
 
@@ -103,6 +108,40 @@ def run(total_rows: int, stage: str):
 
         with ctx:
             ms, compile_s = timed_scan(body, (table, jnp.zeros(())), ids)
+    elif stage == "fwd_dedup":
+        # sort + dedup + unique-STORED Pallas gather + XLA expand + slot
+        # select: the dedup-once forward (candidate per-slot-gather killer)
+        from torecsys_tpu.ops.pallas.embedding import unique_stored_gather
+        from torecsys_tpu.parallel.lookup import _dedup_ids
+
+        num_logical = vp * pack
+
+        def body(carry, step_ids):
+            t, acc = carry
+            flat = step_ids.reshape(-1)
+            uids, inv, _ = _dedup_ids(flat)
+            uids = jnp.minimum(uids, num_logical)
+            cw = unique_stored_gather(t, uids, EMBED)
+            wide = jnp.take(cw, inv, axis=0).reshape(-1, pack, EMBED)
+            lo = jnp.take(uids % pack, inv)
+            oh = jax.nn.one_hot(lo, pack, dtype=wide.dtype)
+            out = jnp.einsum("mp,mpe->me", oh, wide)
+            return (t, acc + out.sum()), ()
+
+        ms, compile_s = timed_scan(body, (table, jnp.zeros(())), ids)
+    elif stage == "take_wide":
+        # XLA take of (M, 128) rows from a static (M, 128) buffer (the
+        # expand primitive's cost in isolation)
+        cbuf = jnp.ones((m, w), jnp.float32)
+
+        def body(carry, step_ids):
+            t, acc = carry
+            flat = step_ids.reshape(-1)
+            _, order = jax.lax.sort_key_val(flat, jnp.arange(m, dtype=jnp.int32))
+            out = jnp.take(cbuf, order, axis=0)
+            return (t, acc + out.sum()), ()
+
+        ms, compile_s = timed_scan(body, (table, jnp.zeros(())), ids)
     elif stage == "sort":
         def body(carry, step_ids):
             t, acc = carry

@@ -64,7 +64,6 @@ def _make_kernel(num_slots: int, rule: str):
         hbm_out = refs[1 + num_slots : 2 * (1 + num_slots)]
         scratch = refs[2 * (1 + num_slots) : 3 * (1 + num_slots)]
         sems = refs[-1]
-        num_rows = hbm_in[0].shape[0]
         base = pl.program_id(0) * TILE
         # rows in THIS tile that are real (uids is sorted with all sentinel
         # padding at the tail, so validity is a prefix): bounds the DMA loops
@@ -79,54 +78,67 @@ def _make_kernel(num_slots: int, rule: str):
             return pltpu.make_async_copy(
                 hbm_in[a].at[pl.ds(uids_ref[base + i], 1)],
                 scratch[a].at[pl.ds(i, 1)],
-                sems.at[a, i % WINDOW],
+                sems.at[a],
             )
 
         def write_dma(a, i):
             return pltpu.make_async_copy(
                 scratch[a].at[pl.ds(i, 1)],
                 hbm_out[a].at[pl.ds(uids_ref[base + i], 1)],
-                sems.at[a, i % WINDOW],
+                sems.at[a],
             )
 
-        def phase(dma_fn):
-            # start(i) and wait(i) share the same sentinel predicate, so the
-            # per-slot semaphore rotation stays balanced: a skipped row skips
-            # both sides and its slot is simply free for row i + WINDOW.
-            # Manually partially-unrolled (UNROLL rows per fori_loop step):
-            # Mosaic supports only unroll=1/full, and the scalar-core loop
-            # control otherwise dominates the kernel.
-            def step(i):
-                @pl.when(jnp.logical_and(
-                    i < TILE,
-                    uids_ref[base + jnp.minimum(i, TILE - 1)] < num_rows,
-                ))
-                def _():
-                    for a in range(n_arr):
-                        dma_fn(a, i).start()
-
-                # The index is clamped to 0 so it is in-bounds even when the
-                # i >= WINDOW conjunct is False (predicates evaluate both
-                # operands; an unclamped base+i-WINDOW would read SMEM out of
-                # bounds on the first WINDOW steps).
-                @pl.when(jnp.logical_and(
-                    i >= WINDOW,
-                    uids_ref[base + jnp.maximum(i - WINDOW, 0)] < num_rows,
-                ))
-                def _():
-                    for a in range(n_arr):
-                        dma_fn(a, i - WINDOW).wait()
-
+        def phase(dma_fn, hbm):
+            # All-at-once pipeline: every row's DMAs target DISTINCT scratch
+            # rows, so there is no slot-reuse hazard — issue all starts
+            # back-to-back (the hardware DMA queue applies backpressure),
+            # then drain with GROUPED waits: a DMA semaphore counts transfer
+            # units and ``wait`` decrements by the waiting descriptor's size,
+            # so one UNROLL-row descriptor retires UNROLL single-row copies.
+            # The windowed start/wait rotation this replaces spent ~40
+            # scalar-core cycles per row on SMEM predicate loads + per-row
+            # waits, and the r4 window sweep (16/32/64 × unroll 8/16)
+            # measured the kernel invariant to the window — it was
+            # scalar-issue bound, not latency bound.  Validity is a prefix,
+            # so the only start predicate left is the index bound.
             def body(c, _):
                 for u in range(UNROLL):
-                    step(c * UNROLL + u)
+                    i = c * UNROLL + u
+
+                    @pl.when(i < n_here)
+                    def _():
+                        for a in range(n_arr):
+                            dma_fn(a, i).start()
+
                 return 0
 
-            n_chunks = (n_here + WINDOW + UNROLL - 1) // UNROLL
-            jax.lax.fori_loop(0, n_chunks, body, 0)
+            jax.lax.fori_loop(0, (n_here + UNROLL - 1) // UNROLL, body, 0)
+            n_groups = n_here // UNROLL
+
+            def wait_group(c, _):
+                for a in range(n_arr):
+                    # size-only descriptor: decrements sems[a] by UNROLL rows
+                    pltpu.make_async_copy(
+                        hbm[a].at[pl.ds(0, UNROLL)],
+                        scratch[a].at[pl.ds(c * UNROLL, UNROLL)],
+                        sems.at[a],
+                    ).wait()
+                return 0
+
+            def wait_one(i, _):
+                for a in range(n_arr):
+                    pltpu.make_async_copy(
+                        hbm[a].at[pl.ds(0, 1)],
+                        scratch[a].at[pl.ds(i, 1)],
+                        sems.at[a],
+                    ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_groups, wait_group, 0)
+            jax.lax.fori_loop(n_groups * UNROLL, n_here, wait_one, 0)
 
         # ---- phase 1: stream current rows HBM -> VMEM scratch -------------
-        phase(read_dma)
+        phase(read_dma, hbm_in)
 
         # ---- phase 2: vectorized optimizer math over the tile -------------
         lr = hyper_ref[0]
@@ -156,7 +168,7 @@ def _make_kernel(num_slots: int, rule: str):
         scratch[0][:] = row - upd
 
         # ---- phase 3: stream updated rows VMEM -> HBM ----------------------
-        phase(write_dma)
+        phase(write_dma, hbm_out)
 
     return kernel
 
@@ -201,7 +213,7 @@ def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
         # fused adam mv slot is (2, W))
         scratch_shapes=[pltpu.VMEM((TILE, *a.shape[1:]), a.dtype)
                         for a in (table, *slots)]
-        + [pltpu.SemaphoreType.DMA((n_arr, WINDOW))],
+        + [pltpu.SemaphoreType.DMA((n_arr,))],
     )
     out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (table, *slots)]
     # inputs (flattened order): uids, n_valid, hyper, gsum, table, *slots
@@ -225,7 +237,22 @@ def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
     return outs[0], list(outs[1:])
 
 
-TILE_P = 512   # sorted positions per grid program (fused dedup+update kernel)
+# Sorted positions per grid program (fused dedup+update kernel).  Larger
+# tiles amortize per-program overhead and lengthen the RMW DMA bursts; the
+# sub-tiled combine (below) keeps MXU flops independent of TILE_P.
+TILE_P = int(_os.environ.get("TORECSYS_TPU_DEDUP_TILE", "1024"))
+# Sub-tile width of the segment-combine matmuls: positions are processed in
+# SUB-sized chunks, each contracting a (SUB, SUB) one-hot against (SUB, W)
+# wide grads into a dynamic window of the partial accumulator.  MXU flops
+# scale with M*SUB*W instead of M*TILE_P*W — the r3 single-matmul combine
+# (SUB == TILE_P == 512) measured 0.55 ms of pure matmul at Criteo shapes;
+# SUB=256 halves that, decoupled from the tile size.
+SUB = int(_os.environ.get("TORECSYS_TPU_DEDUP_SUB", "256"))
+# Timing-isolation knobs (produce WRONG results — bench diagnostics only):
+# skip the RMW phases / use a static combine window instead of the dynamic
+# per-chunk one.  Never set outside tools/ experiments.
+_DEBUG_NORMW = _os.environ.get("TORECSYS_TPU_DEDUP_NORMW", "0") == "1"
+_DEBUG_STATICWIN = _os.environ.get("TORECSYS_TPU_DEDUP_STATICWIN", "0") == "1"
 
 
 def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
@@ -258,8 +285,8 @@ def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
     """
     w = pack * embed
 
-    def kernel(uids_ref, first_seg_ref, last_seg_ref, cont_ref, hyper_ref,
-               seg_ref, lo_ref, g_ref, *refs):
+    def kernel(uids_ref, first_seg_ref, last_seg_ref, cont_ref, nvalidseg_ref,
+               hyper_ref, seg_ref, lo_ref, g_ref, *refs):
         n_arr = 1 + num_slots
         hbm_in = refs[:n_arr]
         hbm_out = refs[n_arr:2 * n_arr]
@@ -267,7 +294,6 @@ def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
         scratch = refs[2 * n_arr + 1: 3 * n_arr + 1]
         carry_scr = refs[3 * n_arr + 1]
         sems = refs[-1]
-        num_rows = hbm_in[0].shape[0]
 
         t = pl.program_id(0)
         base_seg = first_seg_ref[t]
@@ -275,6 +301,10 @@ def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
         cont_in = cont_ref[t]
         cont_out = cont_ref[t + 1]
         n_fin = nseg - cont_out  # segments finalized in this tile
+        # valid (non-sentinel) segments are a PREFIX of the global segment
+        # list (ids ascend, sentinel padding sorts last) — so the RMW bound
+        # is a pure index comparison, no per-row uid loads
+        n_rmw = jnp.clip(nvalidseg_ref[0] - base_seg, 0, n_fin)
 
         # ---- widen + segment combine (VPU + MXU) --------------------------
         g = g_ref[0]                        # (TILE_P, E)
@@ -290,15 +320,34 @@ def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
                              jnp.zeros((), g.dtype))
         else:
             wide = g
-        seg_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_P, TILE_P), 0)
-        onehot = (seg_iota == seg_local[None, :]).astype(wide.dtype)
-        # HIGHEST precision: the default MXU passes accumulate f32 operands at
-        # reduced precision, so duplicate-id gradient sums could diverge from
-        # the XLA segment_sum this combine replaces (r3 ADVICE).
-        partial_scr[:] = jax.lax.dot(
-            onehot, wide, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # Sub-tiled combine: chunk of SUB positions -> (SUB, SUB) one-hot
+        # against its wide grads, accumulated into a DYNAMIC window of the
+        # partial buffer.  Segments are nondecreasing, so the SUB positions
+        # of a chunk span at most SUB distinct segments starting at the
+        # chunk's first segment — window [win0, win0 + SUB).  Chunks sharing
+        # a boundary segment accumulate into the same row (+=, sequential,
+        # deterministic).  partial_scr is padded by SUB rows so the last
+        # window never writes out of bounds.
+        partial_scr[:] = jnp.zeros_like(partial_scr)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+        for k in range(TILE_P // SUB):
+            pos0 = k * SUB
+            seg_sub = seg_local[pos0:pos0 + SUB]
+            win0 = seg_sub[0]
+            rel = seg_sub - win0
+            oh = (sub_iota == rel[None, :]).astype(wide.dtype)
+            # HIGHEST precision: the default MXU passes accumulate f32
+            # operands at reduced precision, so duplicate-id gradient sums
+            # could diverge from the XLA segment_sum this replaces
+            # (r3 ADVICE).
+            acc = jax.lax.dot(
+                oh, wide[pos0:pos0 + SUB], preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            if _DEBUG_STATICWIN:
+                partial_scr[0:SUB, :] += acc  # timing only: wrong results
+            else:
+                partial_scr[pl.ds(win0, SUB), :] += acc
 
         # ---- boundary carry ----------------------------------------------
         @pl.when(cont_in == 1)
@@ -309,61 +358,63 @@ def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
         def _():
             carry_scr[:] = partial_scr[pl.ds(nseg - 1, 1), :]
 
-        # ---- windowed-DMA RMW of finalized rows ---------------------------
+        # ---- all-at-once DMA RMW of finalized rows ------------------------
         def read_dma(a, i):
             return pltpu.make_async_copy(
                 hbm_in[a].at[pl.ds(uids_ref[base_seg + i], 1)],
                 scratch[a].at[pl.ds(i, 1)],
-                sems.at[a, i % WINDOW],
+                sems.at[a],
             )
 
         def write_dma(a, i):
             return pltpu.make_async_copy(
                 scratch[a].at[pl.ds(i, 1)],
                 hbm_out[a].at[pl.ds(uids_ref[base_seg + i], 1)],
-                sems.at[a, i % WINDOW],
+                sems.at[a],
             )
 
-        def phase(dma_fn):
-            # same start/wait sentinel-balanced pipeline as _make_kernel;
-            # bounds: i in [0, n_fin) with sentinel-row skip (the padded tail
-            # of the last tile maps to uids == num_rows)
-            # Predicates evaluate both operands, so every uids_ref index in a
-            # predicate is clamped into [0, len(uids)) — base_seg + i can run
-            # past the buffer on the last tiles where the guard is False.
-            max_idx = uids_ref.shape[0] - 1
-
-            def step(i):
-                @pl.when(jnp.logical_and(
-                    i < n_fin,
-                    uids_ref[jnp.minimum(base_seg + i, max_idx)] < num_rows,
-                ))
-                def _():
-                    for a in range(1 + num_slots):
-                        dma_fn(a, i).start()
-
-                @pl.when(jnp.logical_and(
-                    i >= WINDOW,
-                    jnp.logical_and(
-                        i - WINDOW < n_fin,
-                        uids_ref[
-                            jnp.clip(base_seg + i - WINDOW, 0, max_idx)
-                        ] < num_rows,
-                    ),
-                ))
-                def _():
-                    for a in range(1 + num_slots):
-                        dma_fn(a, i - WINDOW).wait()
-
+        def phase(dma_fn, hbm):
+            # every row targets a DISTINCT scratch row, so all starts issue
+            # back-to-back (hardware queue backpressure), drained by GROUPED
+            # waits (one UNROLL-row size-only descriptor retires UNROLL
+            # single-row copies) — see _make_kernel.phase for the rationale
             def body(c, _):
                 for u in range(UNROLL):
-                    step(c * UNROLL + u)
+                    i = c * UNROLL + u
+
+                    @pl.when(i < n_rmw)
+                    def _():
+                        for a in range(1 + num_slots):
+                            dma_fn(a, i).start()
+
                 return 0
 
-            n_chunks = (n_fin + WINDOW + UNROLL - 1) // UNROLL
-            jax.lax.fori_loop(0, n_chunks, body, 0)
+            jax.lax.fori_loop(0, (n_rmw + UNROLL - 1) // UNROLL, body, 0)
+            n_groups = n_rmw // UNROLL
 
-        phase(read_dma)
+            def wait_group(c, _):
+                for a in range(1 + num_slots):
+                    pltpu.make_async_copy(
+                        hbm[a].at[pl.ds(0, UNROLL)],
+                        scratch[a].at[pl.ds(c * UNROLL, UNROLL)],
+                        sems.at[a],
+                    ).wait()
+                return 0
+
+            def wait_one(i, _):
+                for a in range(1 + num_slots):
+                    pltpu.make_async_copy(
+                        hbm[a].at[pl.ds(0, 1)],
+                        scratch[a].at[pl.ds(i, 1)],
+                        sems.at[a],
+                    ).wait()
+                return 0
+
+            jax.lax.fori_loop(0, n_groups, wait_group, 0)
+            jax.lax.fori_loop(n_groups * UNROLL, n_rmw, wait_one, 0)
+
+        if not _DEBUG_NORMW:
+            phase(read_dma, hbm_in)
 
         # ---- vectorized optimizer math over the tile ----------------------
         lr = hyper_ref[0]
@@ -373,7 +424,7 @@ def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
         wd = hyper_ref[4]
         bc1 = hyper_ref[5]
         bc2 = hyper_ref[6]
-        gsum = partial_scr[:]
+        gsum = partial_scr[0:TILE_P, :]
         row = scratch[0][:]
         if rule == "adam":
             m_new = b1 * scratch[1][:, 0, :] + (1.0 - b1) * gsum
@@ -390,7 +441,8 @@ def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
             upd = lr * gsum
         scratch[0][:] = row - upd
 
-        phase(write_dma)
+        if not _DEBUG_NORMW:
+            phase(write_dma, hbm_out)
 
     return kernel
 
@@ -427,10 +479,13 @@ def _fused_sorted_update(sorted_ids, g_sorted, table, slots, hyper, pack,
     cont_mid = (seg[TILE_P::TILE_P] == seg[TILE_P - 1::TILE_P][:-1]).astype(jnp.int32)
     cont = jnp.concatenate([jnp.zeros((1,), jnp.int32), cont_mid,
                             jnp.zeros((1,), jnp.int32)])
+    # count of non-sentinel segments (a global prefix): the kernel's pure-
+    # index RMW bound
+    nvalidseg = jnp.sum(uids < num_rows, dtype=jnp.int32).reshape(1)
 
     n_arr = 1 + len(slots)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # uids, first_seg, last_seg, cont, hyper
+        num_scalar_prefetch=6,  # uids, first/last_seg, cont, nvalidseg, hyper
         grid=(t_tiles,),
         in_specs=[
             # (T, 1, TILE_P) int blocks: Mosaic requires the last two block
@@ -444,15 +499,15 @@ def _fused_sorted_update(sorted_ids, g_sorted, table, slots, hyper, pack,
                          memory_space=pltpu.VMEM),          # g
         ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_arr,
-        scratch_shapes=[pltpu.VMEM((TILE_P, table.shape[1]), jnp.float32)]
+        scratch_shapes=[pltpu.VMEM((TILE_P + SUB, table.shape[1]), jnp.float32)]
         + [pltpu.VMEM((TILE_P, *a.shape[1:]), a.dtype) for a in (table, *slots)]
         + [pltpu.VMEM((1, table.shape[1]), jnp.float32)]
-        + [pltpu.SemaphoreType.DMA((n_arr, WINDOW))],
+        + [pltpu.SemaphoreType.DMA((n_arr,))],
     )
     out_shapes = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in (table, *slots)]
-    # flattened inputs: uids, first_seg, last_seg, cont, hyper, seg, lo, g,
-    # table, *slots → alias table/slots onto the outputs
-    aliases = {8 + a: a for a in range(n_arr)}
+    # flattened inputs: uids, first_seg, last_seg, cont, nvalidseg, hyper,
+    # seg, lo, g, table, *slots → alias table/slots onto the outputs
+    aliases = {9 + a: a for a in range(n_arr)}
     outs = pl.pallas_call(
         _make_dedup_kernel(len(slots), rule, pack, e),
         grid_spec=grid_spec,
@@ -467,7 +522,7 @@ def _fused_sorted_update(sorted_ids, g_sorted, table, slots, hyper, pack,
             bytes_accessed=2 * n_arr * mp * table.shape[1] * 4,
             transcendentals=0,
         ),
-    )(uids, first_seg, last_seg, cont, hyper,
+    )(uids, first_seg, last_seg, cont, nvalidseg, hyper,
       seg.reshape(t_tiles, 1, TILE_P), lo.reshape(t_tiles, 1, TILE_P),
       g_sorted.reshape(t_tiles, TILE_P, e), table, *slots)
     return outs[0], list(outs[1:])
