@@ -199,10 +199,15 @@ def breakdown():
     ]).astype(np.int32) + offs[None, None, :])          # (K, B, N)
     total = int(sum(FIELD_SIZES))
     vp, w = packed_shape(total, EMBED)
-    table = jax.jit(
-        lambda k: 0.01 * jax.random.normal(k, (vp, w), jnp.float32)
-    )(jax.random.PRNGKey(0))
-    jax.block_until_ready(table)
+
+    def make_table():
+        # fresh per stage: _timed_scan DONATES the carry, deleting the table
+        t = jax.jit(
+            lambda k: 0.01 * jax.random.normal(k, (vp, w), jnp.float32)
+        )(jax.random.PRNGKey(0))
+        jax.block_until_ready(t)
+        return t
+
     out = {}
 
     def fwd_body(carry, step_ids):
@@ -210,9 +215,10 @@ def breakdown():
         o = packed_lookup(t, step_ids, EMBED)
         return (t, acc + o.sum()), ()
 
-    out["emb_fwd"] = _timed_scan(fwd_body, (table, jnp.zeros(())), ids)
+    out["emb_fwd"] = _timed_scan(fwd_body, (make_table(), jnp.zeros(())), ids)
 
     row_tx = RowAdam(learning_rate=1e-3)
+    table = make_table()
     slots = row_tx.init(table)
 
     def train_body(carry, step_ids):

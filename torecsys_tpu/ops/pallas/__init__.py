@@ -6,12 +6,15 @@ counterpart (interpret mode on CPU, compiled on TPU).
 
 ``enabled()`` gates dispatch: Pallas paths are **opt-in** via
 ``TORECSYS_TPU_PALLAS=1`` and only on a real TPU backend. Measured on v5e
-(Criteo-shaped lookup, 106k ids, packed (66.5k, 128) table): the Pallas row
-gather alone is ~1.3x XLA's gather (0.030 ms vs 0.040 ms), but inside the
-full scanned DeepFM train step the ``pallas_call`` acts as a scheduling
-barrier XLA cannot fuse across and end-to-end throughput drops ~45% — so the
-fused-XLA path is the default and the kernel is kept for gather-dominated
-inference/serving workloads.
+(Criteo-shaped lookup, 106k ids, packed table, r4 all-at-once DMA scheme):
+XLA's fused gather wins the forward in-scan at every table size tried
+(1.21-1.23 ms vs the kernel's 1.81-1.87 — XLA's gather loop runs at
+~11 ns/row, the kernel's start+SMEM-address path at ~17 ns/row), and a
+dedup-once forward (sort + unique-stored gather + compact expand) measured
+3.04 ms — the dedup machinery costs more than the duplicate fetches it
+saves.  So the fused-XLA gather is the forward default; the kernels stay
+for gather-only serving experiments and as the building blocks of the
+sparse-update path (``sparse_update.py``), where they ARE the default.
 """
 
 from __future__ import annotations

@@ -253,6 +253,13 @@ SUB = int(_os.environ.get("TORECSYS_TPU_DEDUP_SUB", "256"))
 # per-chunk one.  Never set outside tools/ experiments.
 _DEBUG_NORMW = _os.environ.get("TORECSYS_TPU_DEDUP_NORMW", "0") == "1"
 _DEBUG_STATICWIN = _os.environ.get("TORECSYS_TPU_DEDUP_STATICWIN", "0") == "1"
+# Combine-matmul precision: HIGHEST (6-pass, exact f32 sums) vs DEFAULT.
+# r3's bench measured the DEFAULT-precision combine bitwise identical to the
+# XLA segment_sum on v5e; the knob lets the bench re-verify that while the
+# default stays the safe one (r3 ADVICE).
+_DOT_PRECISION = (jax.lax.Precision.DEFAULT
+                  if _os.environ.get("TORECSYS_TPU_DEDUP_PRECISION", "highest")
+                  == "default" else jax.lax.Precision.HIGHEST)
 
 
 def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
@@ -342,7 +349,7 @@ def _make_dedup_kernel(num_slots: int, rule: str, pack: int, embed: int):
             # (r3 ADVICE).
             acc = jax.lax.dot(
                 oh, wide[pos0:pos0 + SUB], preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=_DOT_PRECISION,
             )
             if _DEBUG_STATICWIN:
                 partial_scr[0:SUB, :] += acc  # timing only: wrong results
