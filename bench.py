@@ -78,13 +78,15 @@ def _fingerprint() -> str:
     return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
-def measure(sparse_embeddings):
+def measure(sparse_embeddings, compute_dtype=None):
     """examples/sec of the full DeepFM train step on the bench workload.
 
     ``sparse_embeddings=None`` = Pipeline auto (picks the touched-rows path
     at this vocab scale); ``False`` = dense full-table optimizer — the
     reference's semantics (``torch.optim.Adam`` over ``nn.Embedding``,
     ``torecsys_pipeline.py:562``), which is the recorded baseline.
+    ``compute_dtype='bfloat16'`` runs the tower matmuls MXU-native
+    (f32 params/loss; AUC-parity-guarded — tests/test_trainer.py).
     """
     import jax
     import jax.numpy as jnp
@@ -109,6 +111,7 @@ def measure(sparse_embeddings):
         .set_criterion("BCEWithLogitsLoss")
         .set_optimizer("Adam", lr=1e-3)
         .set_sparse_embeddings(sparse_embeddings)
+        .set_compute_dtype(compute_dtype)
         .set_target_fields("label")
     )
     trainer = Trainer(pipeline, log_every=1_000_000)
@@ -279,7 +282,11 @@ def main():
                              "torch.optim.Adam over nn.Embedding.weight)",
             }, f)
 
-    examples_per_sec = measure(sparse_embeddings=None)  # auto → sparse here
+    # bf16 tower matmuls (f32 params + f32 loss): the TPU-native
+    # mixed-precision recipe, AUC-parity-guarded by
+    # tests/test_trainer.py::test_bf16_compute_dtype_trains_to_parity.
+    # The baseline stays full-f32 dense (the reference's exact semantics).
+    examples_per_sec = measure(sparse_embeddings=None, compute_dtype="bfloat16")
     print(json.dumps({
         "metric": "deepfm_examples_per_sec_per_chip",
         "value": round(examples_per_sec, 1),

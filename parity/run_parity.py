@@ -57,7 +57,7 @@ N_FIELDS = len(FIELD_SIZES)
 NUM_DENSE = 0
 PAIR_SCALE = 2.0
 ROWS, TRAIN = 120_000, 100_000
-N_SEEDS = 3  # per side, configs 1-4 (config 5 uses 4, below)
+N_SEEDS = 5  # per side, configs 1-4 (config 5 uses 4, below)
 E = 8
 EPOCHS = 6
 LR = 3e-3

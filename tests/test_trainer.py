@@ -224,3 +224,29 @@ def test_trainer_steps_per_execution(np_rng):
     metrics = trainer.fit(lambda: iter(batches), max_epochs=2)
     assert np.isfinite(metrics["train_loss"])
     assert int(trainer.state.step) == 14  # all 7 batches, both epochs
+
+
+def test_bf16_compute_dtype_trains_to_parity(data):
+    """compute_dtype='bfloat16': tower matmuls in bf16, params stay f32,
+    Sequential outputs f32, and held-out AUC matches the f32 run within a
+    small margin (the mixed-precision recipe is convergence-safe)."""
+    import jax
+
+    aucs = {}
+    for dtype in (None, "bfloat16"):
+        p = (Pipeline().set_objective("ctr").set_inputs(make_inputs())
+             .set_model("DeepFM", deep_layer_sizes=(32, 32))
+             .set_criterion("BCEWithLogitsLoss")
+             .set_optimizer("Adam", lr=0.01)
+             .set_compute_dtype(dtype)
+             .set_target_fields("label"))
+        tr = Trainer(p, log_every=10_000, seed=0)
+        m = tr.fit(loader(data, 0, 18000), val_loader=loader(data, 18000, 20000),
+                   max_epochs=2)
+        aucs[dtype] = m["val_auc"]
+        for leaf in jax.tree_util.tree_leaves(tr.state.params):
+            assert leaf.dtype == np.float32  # params never bf16
+        preds = tr.predict({k: v[:64] for k, v in data.items()})
+        assert np.asarray(preds).dtype == np.float32  # f32 loss contract
+    assert aucs["bfloat16"] > 0.6, aucs
+    assert abs(aucs["bfloat16"] - aucs[None]) < 0.02, aucs

@@ -15,6 +15,8 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+
+from torecsys_tpu.layers.precision import Dense as pdense
 import jax.numpy as jnp
 
 from torecsys_tpu.layers.base import BaseLayer
@@ -36,9 +38,9 @@ class ComposeExcitationNetworkLayer(BaseLayer):
     def __call__(self, field_emb_inputs: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         m = self.num_fields ** 2 if self.squared else self.num_fields
         squeezed = jnp.mean(field_emb_inputs, axis=2)  # (B, M)
-        attn = nn.Dense(max(1, m // self.reduction), name="reduce")(squeezed)
+        attn = pdense(max(1, m // self.reduction), name="reduce")(squeezed)
         attn = nn.relu(attn)
-        attn = nn.Dense(m, name="expand")(attn)
+        attn = pdense(m, name="expand")(attn)
         attn = nn.relu(attn)
         return field_emb_inputs * attn[..., None]
 

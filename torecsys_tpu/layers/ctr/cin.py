@@ -15,6 +15,8 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 import flax.linen as nn
+
+from torecsys_tpu.layers.precision import Dense as pdense
 import jax.numpy as jnp
 
 from torecsys_tpu.layers.base import BaseLayer
@@ -86,4 +88,4 @@ class CompressInteractionNetworkLayer(BaseLayer):
             h_prev = xk.shape[1]
         out = jnp.concatenate(pooled, axis=1)  # (B, ΣH, E)
         out = jnp.sum(out, axis=2)  # sum over embedding dim → (B, ΣH)
-        return nn.Dense(self.output_size, name="head")(out)
+        return pdense(self.output_size, name="head")(out)

@@ -14,6 +14,8 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 import flax.linen as nn
+
+from torecsys_tpu.layers.precision import Dense as pdense
 import jax.numpy as jnp
 
 from torecsys_tpu.layers.base import BaseLayer
@@ -34,11 +36,11 @@ class MultilayerPerceptionLayer(BaseLayer):
     def __call__(self, inputs: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         x = inputs
         for i, size in enumerate(self.layer_sizes):
-            x = nn.Dense(size, name=f"dense_{i}")(x)
+            x = pdense(size, name=f"dense_{i}")(x)
             x = self.activation(x)
             if self.dropout_rate > 0:
                 x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
-        return nn.Dense(self.output_size, name="output")(x)
+        return pdense(self.output_size, name="output")(x)
 
 
 class WideLayer(BaseLayer):
@@ -52,7 +54,7 @@ class WideLayer(BaseLayer):
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray, training: bool = False) -> jnp.ndarray:
-        x = nn.Dense(self.output_size, name="linear")(inputs)
+        x = pdense(self.output_size, name="linear")(inputs)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not training)(x)
         return x

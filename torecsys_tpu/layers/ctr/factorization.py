@@ -13,6 +13,8 @@ from __future__ import annotations
 from typing import Tuple
 
 import flax.linen as nn
+
+from torecsys_tpu.layers.precision import Dense as pdense
 import jax.numpy as jnp
 
 from torecsys_tpu.layers.base import BaseLayer
@@ -72,9 +74,9 @@ class AttentionalFactorizationMachineLayer(BaseLayer):
         self, emb_inputs: jnp.ndarray, training: bool = False
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         products = afm_pairwise_products(emb_inputs)  # (B, P, E)
-        scores = nn.Dense(self.attn_size, name="attn_w")(products)
+        scores = pdense(self.attn_size, name="attn_w")(products)
         scores = nn.relu(scores)
-        scores = nn.Dense(1, name="attn_h")(scores)  # (B, P, 1)
+        scores = pdense(1, name="attn_h")(scores)  # (B, P, 1)
         attn = nn.softmax(scores, axis=1)
         if self.dropout_rate > 0:
             attn = nn.Dropout(self.dropout_rate, deterministic=not training)(attn)

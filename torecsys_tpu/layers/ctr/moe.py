@@ -16,6 +16,8 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, Tuple
 
 import flax.linen as nn
+
+from torecsys_tpu.layers.precision import Dense as pdense
 import jax.numpy as jnp
 
 from torecsys_tpu.layers.base import BaseLayer
@@ -52,7 +54,7 @@ class MixtureOfExpertsLayer(BaseLayer):
             expert_outs.append(out.reshape(b, -1))
         experts = jnp.stack(expert_outs, axis=1)  # (B, K, O)
 
-        gates = nn.Dense(self.num_experts * self.num_gates, name="gate")(flat)
+        gates = pdense(self.num_experts * self.num_gates, name="gate")(flat)
         gates = nn.softmax(gates.reshape(b, self.num_gates, self.num_experts), axis=-1)
 
         # (B, G, K) x (B, K, O) -> (B, G, K, O), gate-weighted expert outputs

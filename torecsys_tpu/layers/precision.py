@@ -1,0 +1,73 @@
+"""Mixed-precision compute for the dense towers (TPU MXU-native).
+
+The reference trains everything in float32 (torch CPU/CUDA defaults).  On
+TPU the MXU's native matmul dtype is bfloat16: running the dense-tower
+matmuls in bf16 with f32 parameters and f32 loss is the standard
+mixed-precision recipe and roughly halves tower time at CTR sizes, with
+no measurable AUC effect (guarded by ``tests/test_convergence.py``).
+
+Mechanics: ``Pipeline.set_compute_dtype('bfloat16')`` enters
+:func:`use_compute_dtype` around jit-tracing (the same trace-time-context
+pattern as ``ops.sparse.use_sparse_embedding_grads``); every dense/attention
+layer built through :func:`Dense` / :func:`mha_dtype` then passes
+``dtype=bfloat16`` to flax, which casts inputs AND params to bf16 for the
+matmul while keeping the stored params f32 (``param_dtype``).  Model outputs
+are cast back to f32 by ``Sequential`` so losses/metrics always accumulate
+in f32.
+
+Scope: ``nn.Dense`` sites and multi-head attention.  Embedding tables,
+convs, and recurrent cells stay f32 (they are gather/bandwidth bound, not
+MXU bound).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import threading
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_state = threading.local()
+
+
+def compute_dtype():
+    """Active compute dtype (None = full f32, flax default promotion)."""
+    return getattr(_state, "dtype", None)
+
+
+@contextlib.contextmanager
+def use_compute_dtype(dtype: Optional[str]):
+    """Trace-time context: dense/attention matmuls compute in ``dtype``.
+
+    ``dtype``: 'bfloat16' | 'float32' | None (None/float32 = unchanged).
+    Enter around ``jax.jit`` tracing — the choice is baked into the
+    compiled program.
+    """
+    resolved = None
+    if dtype is not None and str(dtype) not in ("float32", "f32"):
+        resolved = jnp.dtype(dtype)
+    prev = getattr(_state, "dtype", None)
+    _state.dtype = resolved
+    try:
+        yield
+    finally:
+        _state.dtype = prev
+
+
+def Dense(features: int, name: Optional[str] = None, use_bias: bool = True) -> nn.Dense:
+    """``nn.Dense`` honoring the active compute dtype (param names, and so
+    checkpoint layout, are identical to a plain ``nn.Dense``)."""
+    return nn.Dense(
+        features, name=name, use_bias=use_bias,
+        dtype=compute_dtype(), param_dtype=jnp.float32,
+    )
+
+
+def mha_dtype():
+    """``dtype=`` kwarg value for ``nn.MultiHeadDotProductAttention``."""
+    return compute_dtype()
+
+
+__all__ = ["Dense", "compute_dtype", "mha_dtype", "use_compute_dtype"]

@@ -13,6 +13,8 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 import flax.linen as nn
+
+from torecsys_tpu.layers.precision import Dense as pdense
 import jax.numpy as jnp
 
 from torecsys_tpu.layers.ctr import (
@@ -98,7 +100,7 @@ class DeepAndCrossNetworkModel(CtrBaseModel):
             name="deep",
         )(emb_inputs, training=training)  # (B, N, O)
         cat = jnp.concatenate([cross_out, deep_out], axis=2).reshape(b, -1)
-        return nn.Dense(self.output_size, name="fc")(cat)
+        return pdense(self.output_size, name="fc")(cat)
 
 
 @register_model("XDeepFM", "xDeepFM")

@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 import flax.linen as nn
+
+from torecsys_tpu.layers.precision import Dense as pdense
 import jax.numpy as jnp
 
 from torecsys_tpu.layers.ctr import (
@@ -47,7 +49,7 @@ class LogisticRegressionModel(CtrBaseModel):
     def __call__(self, feat_inputs: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         b = feat_inputs.shape[0]
         flat = feat_inputs.reshape(b, -1)
-        return nn.sigmoid(nn.Dense(self.output_size, name="linear")(flat))
+        return nn.sigmoid(pdense(self.output_size, name="linear")(flat))
 
 
 @register_model("FM")

@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Callable, Tuple
 
 import flax.linen as nn
+
+from torecsys_tpu.layers.precision import Dense as pdense
 import jax.numpy as jnp
 
 from torecsys_tpu.layers.ctr import (
@@ -58,11 +60,14 @@ class DeepSessionInterestNetworkModel(CtrBaseModel):
             )(x, session_index, training=training)
 
         # interest extractor: self-attention over the session
+        from torecsys_tpu.layers.precision import mha_dtype
+
         extraction = nn.MultiHeadDotProductAttention(
             num_heads=self.extractor_num_heads,
             qkv_features=self.embed_size,
             dropout_rate=self.extractor_dropout,
             deterministic=not training,
+            dtype=mha_dtype(),
             name="interest_extractor",
         )(x, x)  # (B, L, E)
 
@@ -78,7 +83,7 @@ class DeepSessionInterestNetworkModel(CtrBaseModel):
         features = jnp.concatenate([pooled_extraction, pooled_interaction], axis=1)
         if not self.use_output_head:
             return features
-        return nn.Dense(1, name="output_head")(features)
+        return pdense(1, name="output_head")(features)
 
 
 @register_model("PAL", "PositionBiasAwareLearningFramework")

@@ -12,6 +12,8 @@ from __future__ import annotations
 from typing import Callable, Dict, Tuple
 
 import flax.linen as nn
+
+from torecsys_tpu.layers.precision import Dense as pdense
 import jax.numpy as jnp
 
 from torecsys_tpu.layers.ctr import PositionEmbeddingLayer
@@ -66,14 +68,17 @@ class PersonalizedReRankingModel(LtrBaseModel):
             x = PositionEmbeddingLayer(
                 max_num_position=self.max_num_position, name="position_embedding"
             )(x, training=training)
-        x = nn.Dense(self.encoding_size, name="input_fc")(x)  # (B, L, D)
+        x = pdense(self.encoding_size, name="input_fc")(x)  # (B, L, D)
 
         for i in range(self.num_encoder_layers):
+            from torecsys_tpu.layers.precision import mha_dtype
+
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads,
                 qkv_features=self.encoding_size,
                 dropout_rate=self.dropout_rate,
                 deterministic=not training,
+                dtype=mha_dtype(),
                 name=f"mha_{i}",
             )(x, x)
             # post-norm residuals with BatchNorm, per the reference's
@@ -81,11 +86,11 @@ class PersonalizedReRankingModel(LtrBaseModel):
             x = nn.BatchNorm(use_running_average=not training, name=f"attn_bn_{i}")(
                 x + attn
             )
-            ff = nn.Dense(self.ff_hidden_size, name=f"ff1_{i}")(x)
+            ff = pdense(self.ff_hidden_size, name=f"ff1_{i}")(x)
             ff = self.activation(ff)
-            ff = nn.Dense(self.encoding_size, name=f"ff2_{i}")(ff)
+            ff = pdense(self.encoding_size, name=f"ff2_{i}")(ff)
             x = nn.BatchNorm(use_running_average=not training, name=f"ff_bn_{i}")(x + ff)
 
-        out = nn.Dense(1, name="output_fc")(x)  # (B, L, 1)
+        out = pdense(1, name="output_fc")(x)  # (B, L, 1)
         out = out[..., 0]  # (B, L)
         return nn.softmax(out, axis=-1)

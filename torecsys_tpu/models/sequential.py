@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Dict
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from torecsys_tpu.inputs import Inputs
@@ -27,4 +28,11 @@ class Sequential(nn.Module):
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], training: bool = False):
         model_args = self.inputs(batch, training=training)
-        return self.model(**model_args, training=training)
+        out = self.model(**model_args, training=training)
+        # Mixed-precision contract (layers/precision.py): towers may compute
+        # in bf16, but losses/metrics always consume f32 scores.
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if isinstance(x, jnp.ndarray) and x.dtype == jnp.bfloat16 else x,
+            out,
+        )

@@ -60,6 +60,11 @@ class Pipeline:
     # config key, ``torecsys_pipeline.py:897-898`` — planned there, dead
     # there, honored here by Trainer._maybe_restore).
     load_from: Optional[str] = None
+    # Mixed-precision compute for the dense towers/attention
+    # (layers/precision.py): None/'float32' = full f32 (reference
+    # semantics); 'bfloat16' = MXU-native tower matmuls with f32 params and
+    # f32 loss.  Convergence-guarded in tests/test_convergence.py.
+    compute_dtype: Optional[str] = None
 
     # ---- builder setters (each returns self for chaining) ---------------
 
@@ -114,6 +119,12 @@ class Pipeline:
 
     def set_sparse_embeddings(self, enabled: Optional[bool]) -> "Pipeline":
         self.sparse_embeddings = enabled
+        return self
+
+    def set_compute_dtype(self, dtype: Optional[str]) -> "Pipeline":
+        """'bfloat16' runs dense-tower/attention matmuls in bf16 (f32
+        params, f32 loss); None/'float32' keeps full f32."""
+        self.compute_dtype = dtype
         return self
 
     def row_optimizer(self):
@@ -240,6 +251,8 @@ class Pipeline:
             p.set_target_fields(config["target_fields"])
         if "sparse_embeddings" in config:
             p.set_sparse_embeddings(config["sparse_embeddings"])
+        if config.get("compute_dtype") is not None:
+            p.set_compute_dtype(config["compute_dtype"])
         if config.get("load_from") is not None:
             p.load_from = config["load_from"]
         return p

@@ -211,12 +211,29 @@ class Trainer:
 
     def _trace_contexts(self):
         """Contexts that must be active while the train step is jit-traced:
-        the sharded-lookup route (mesh) and the sparse-gradient route."""
+        the sharded-lookup route (mesh), the sparse-gradient route, and the
+        mixed-precision compute dtype."""
+        from torecsys_tpu.layers.precision import use_compute_dtype
+
         ctx = contextlib.ExitStack()
         if self.mesh is not None:
             ctx.enter_context(use_sharded_lookup(self.mesh, **self.lookup_options))
         if getattr(self, "_sparse", False):
             ctx.enter_context(use_sparse_embedding_grads())
+        if self.pipeline.compute_dtype is not None:
+            ctx.enter_context(use_compute_dtype(self.pipeline.compute_dtype))
+        return ctx
+
+    def _eval_contexts(self):
+        """Trace-time contexts for eval/predict: sharded lookup + compute
+        dtype (no sparse-grad routing — eval has no gradients)."""
+        from torecsys_tpu.layers.precision import use_compute_dtype
+
+        ctx = contextlib.ExitStack()
+        if self.mesh is not None:
+            ctx.enter_context(use_sharded_lookup(self.mesh, **self.lookup_options))
+        if self.pipeline.compute_dtype is not None:
+            ctx.enter_context(use_compute_dtype(self.pipeline.compute_dtype))
         return ctx
 
     def _place_batch(self, batch: Dict[str, np.ndarray], stacked: bool = False):
@@ -388,12 +405,7 @@ class Trainer:
                     f"{self.pipeline.target_fields!r} (fields: {sorted(batch)})"
                 )
             placed = self._place_batch(batch)
-            if self.mesh is not None:
-                with use_sharded_lookup(self.mesh, **self.lookup_options):
-                    auc_state, ll_state = self._eval_metrics_fn(
-                        self.state, placed, auc_state, ll_state
-                    )
-            else:
+            with self._eval_contexts():
                 auc_state, ll_state = self._eval_metrics_fn(
                     self.state, placed, auc_state, ll_state
                 )
@@ -408,12 +420,7 @@ class Trainer:
         for i, batch in enumerate(self._epoch_iter(loader)):
             placed = self._place_batch(batch)
             seed = jnp.int32(i)
-            if self.mesh is not None:
-                with use_sharded_lookup(self.mesh, **self.lookup_options):
-                    ndcg_state = self._eval_ranking_fn(
-                        self.state, placed, seed, ndcg_state
-                    )
-            else:
+            with self._eval_contexts():
                 ndcg_state = self._eval_ranking_fn(
                     self.state, placed, seed, ndcg_state
                 )
@@ -424,5 +431,6 @@ class Trainer:
         """Score one batch (reference ``TorecsysPipeline.forward:671-685``)."""
         if self._eval_step_fn is None:
             self._build_steps()
-        preds, _ = self._eval_step_fn(self.state, self._place_batch(batch))
+        with self._eval_contexts():
+            preds, _ = self._eval_step_fn(self.state, self._place_batch(batch))
         return preds
