@@ -632,3 +632,42 @@ def test_sharded_row_update_executes_fused_kernel_interpreted(np_rng, monkeypatc
                         jax.tree_util.tree_leaves(s_ref)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestSortedSegmentSumKernel:
+    """Thin Pallas sorted-segment-sum vs jax.ops.segment_sum (interpret)."""
+
+    def _check(self, seg_np, m=None):
+        import jax.numpy as jnp
+
+        from torecsys_tpu.ops.pallas.sparse_update import sorted_segment_sum_wide
+
+        rng = np.random.default_rng(3)
+        m = m or len(seg_np)
+        w = 128
+        wide = jnp.asarray(rng.normal(size=(m, w)).astype(np.float32))
+        seg = jnp.asarray(np.asarray(seg_np, np.int32))
+        want = jax.ops.segment_sum(wide, seg, num_segments=m,
+                                   indices_are_sorted=True)
+        got = sorted_segment_sum_wide(wide, seg, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_random_segments_cross_tile(self):
+        # segments of random lengths spanning many tiles incl. boundaries
+        rng = np.random.default_rng(0)
+        lens = rng.integers(1, 40, 200)
+        seg = np.repeat(np.arange(len(lens)), lens)[:3000]
+        self._check(seg)
+
+    def test_one_giant_segment_spans_tiles(self):
+        self._check(np.zeros(2500, np.int32))
+
+    def test_all_unique(self):
+        self._check(np.arange(1500))
+
+    def test_boundary_exact_tile_multiple(self):
+        from torecsys_tpu.ops.pallas.sparse_update import TILE_P
+
+        seg = np.repeat(np.arange(2 * TILE_P // 4), 4)[: 2 * TILE_P]
+        self._check(seg)

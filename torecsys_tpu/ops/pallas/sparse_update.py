@@ -99,7 +99,11 @@ def _make_kernel(num_slots: int, rule: str):
             # scalar-core cycles per row on SMEM predicate loads + per-row
             # waits, and the r4 window sweep (16/32/64 × unroll 8/16)
             # measured the kernel invariant to the window — it was
-            # scalar-issue bound, not latency bound.  Validity is a prefix,
+            # scalar-issue bound, not latency bound.  (A double-banked
+            # ping-pong variant deferring write waits across grid tiles was
+            # built and measured NO faster — 2.70 vs 2.66 ms update at 30M —
+            # confirming the kernel is issue-bound, not drain-stall bound;
+            # the simpler single-bank form is kept.)  Validity is a prefix,
             # so the only start predicate left is the index bound.
             def body(c, _):
                 for u in range(UNROLL):
@@ -149,7 +153,6 @@ def _make_kernel(num_slots: int, rule: str):
         bc1 = hyper_ref[5]  # 1 / (1 - b1^t)
         bc2 = hyper_ref[6]  # 1 / (1 - b2^t)
         g = gsum_ref[:]
-        w = g.shape[1]
         row = scratch[0][:]
         if rule == "adam":
             # slot array is the fused (TILE, 2, W) mv scratch: [:,0]=m, [:,1]=v
@@ -235,6 +238,153 @@ def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
         ),
     )(uids.astype(jnp.int32), n_valid, hyper, gsum, table, *slots)
     return outs[0], list(outs[1:])
+
+
+def _make_segsum_kernel():
+    """Thin sorted-segment-sum kernel: SORTED wide grads → compact per-
+    segment sums, written at each tile's dynamic segment offset.
+
+    Replaces the XLA ``segment_sum`` in ``ops.sparse._combine_sorted_stored``
+    — XLA lowers it to a row-granular scatter-add (~8 ns/row ≈ 1 ms at
+    Criteo shapes) while this kernel's cost is streaming + sub-tiled MXU
+    one-hot dots.  Per tile of TILE_P sorted positions:
+
+      1. sub-tiled combine into ``partial_scr`` (same scheme as the fused
+         dedup kernel: (SUB, SUB) one-hot dots accumulated into dynamic
+         windows; segments are nondecreasing so a SUB-chunk spans ≤ SUB
+         segments);
+      2. cross-tile carry for the boundary segment (TPU grids run
+         sequentially; a later tile REWRITES the boundary row with the
+         completed value — overlapping output windows are correct because
+         the later write wins);
+      3. ONE output DMA of the tile's (TILE_P, W) partial window at the
+         dynamic offset ``first_seg[t]`` (the output is padded by TILE_P
+         rows so the window never runs off the end; garbage past a tile's
+         real segments is overwritten by the next tile's window).
+
+    Operands (PrefetchScalarGridSpec): scalar-prefetch first_seg, cont;
+    VMEM blocks seg (1,1,TILE_P), wide (1,TILE_P,W); out (ANY) gsum.
+    """
+
+    def kernel(first_seg_ref, cont_ref, seg_ref, wide_ref, zeros_ref,
+               out_ref, partial_scr, carry_scr, sem):
+        del zeros_ref  # aliased onto out_ref: pre-zeroed backing buffer
+        t = pl.program_id(0)
+        base_seg = first_seg_ref[t]
+        cont_in = cont_ref[t]
+        cont_out = cont_ref[t + 1]
+        nseg = first_seg_ref[t + 1] - base_seg + cont_out
+
+        wide = wide_ref[0]
+        seg_local = seg_ref[0, 0, :] - base_seg
+        partial_scr[:] = jnp.zeros_like(partial_scr)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+        for k in range(TILE_P // SUB):
+            pos0 = k * SUB
+            seg_sub = seg_local[pos0:pos0 + SUB]
+            win0 = seg_sub[0]
+            rel = seg_sub - win0
+            oh = (sub_iota == rel[None, :]).astype(wide.dtype)
+            acc = jax.lax.dot(
+                oh, wide[pos0:pos0 + SUB], preferred_element_type=jnp.float32,
+                precision=_DOT_PRECISION,
+            )
+            partial_scr[pl.ds(win0, SUB), :] += acc
+
+        @pl.when(cont_in == 1)
+        def _():
+            partial_scr[0:1, :] += carry_scr[:]
+
+        @pl.when(cont_out == 1)
+        def _():
+            carry_scr[:] = partial_scr[pl.ds(nseg - 1, 1), :]
+
+        # zero rows past this tile's segments so the FINAL tile leaves exact
+        # zeros beyond the last segment (matching XLA segment_sum's output);
+        # intermediate tiles' zeroed tails are overwritten by later windows
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_P, partial_scr.shape[1]), 0
+        )
+        partial_scr[0:TILE_P, :] = jnp.where(
+            row_iota < nseg, partial_scr[0:TILE_P, :], 0.0
+        )
+
+        out_dma = pltpu.make_async_copy(
+            partial_scr.at[pl.ds(0, TILE_P), :],
+            out_ref.at[pl.ds(base_seg, TILE_P), :],
+            sem,
+        )
+        out_dma.start()
+        out_dma.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def sorted_segment_sum_wide(wide, seg, interpret=False):
+    """Compact per-segment sums of a SORTED wide stream.
+
+    Args:
+        wide: ``(M, W)`` f32, position-ordered (sorted by id), W % 128 == 0.
+        seg: ``(M,)`` int32 nondecreasing segment index per position
+            (``prefix_sum(is_first) - 1``).
+
+    Returns:
+        ``(M, W)`` — row ``s`` holds the sum of ``wide`` rows with
+        ``seg == s``; rows past the last segment are unspecified (callers
+        bound by the valid-segment count).
+    """
+    m, w = wide.shape
+    pad = (-m) % TILE_P
+    if pad:
+        wide = jnp.pad(wide, ((0, pad), (0, 0)))
+        # padded positions continue the LAST segment with zero contribution
+        seg = jnp.concatenate([seg, jnp.full((pad,), seg[-1], seg.dtype)])
+    mp = m + pad
+    t_tiles = mp // TILE_P
+    first_seg = jnp.concatenate([seg[::TILE_P], seg[-1:] + 1])
+    cont_mid = (seg[TILE_P::TILE_P] == seg[TILE_P - 1::TILE_P][:-1]).astype(jnp.int32)
+    cont = jnp.concatenate([jnp.zeros((1,), jnp.int32), cont_mid,
+                            jnp.zeros((1,), jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # first_seg, cont
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE_P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # seg
+            pl.BlockSpec((1, TILE_P, w), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # wide
+            pl.BlockSpec(memory_space=pl.ANY),              # zeros (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_P + SUB, w), jnp.float32),
+            pltpu.VMEM((1, w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    # the output aliases a ZEROED operand: rows no tile window covers (when
+    # segments are few) must read as exact zeros, matching XLA segment_sum
+    zeros = jnp.zeros((mp + TILE_P, w), jnp.float32)
+    out = pl.pallas_call(
+        _make_segsum_kernel(),
+        grid_spec=grid_spec,
+        # padded by TILE_P rows so the last tile's window stays in bounds
+        out_shape=jax.ShapeDtypeStruct((mp + TILE_P, w), jnp.float32),
+        # flattened inputs: first_seg, cont, seg, wide, zeros → alias zeros
+        input_output_aliases={4: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * SUB * w,
+            bytes_accessed=3 * mp * w * 4,
+            transcendentals=0,
+        ),
+    )(first_seg, cont, seg.reshape(t_tiles, 1, TILE_P),
+      wide.reshape(t_tiles, TILE_P, w), zeros)
+    return out[:m]
 
 
 # Sorted positions per grid program (fused dedup+update kernel).  Larger

@@ -163,7 +163,17 @@ def _combine_sorted_stored(sorted_ids, g_sorted, pack, num_stored_rows):
         lo = sorted_ids % pack
         oh = jax.nn.one_hot(lo, pack, dtype=g_sorted.dtype)
         wide = jnp.einsum("mp,me->mpe", oh, g_sorted).reshape(m, pack * e)
-    gsum = jax.ops.segment_sum(wide, seg, num_segments=m, indices_are_sorted=True)
+    if _fused_eligible(wide) or _interpret():
+        # XLA lowers the sorted segment_sum to a row-granular scatter-add
+        # (~8 ns/row ≈ 1 ms at Criteo shapes); the thin Pallas kernel does
+        # it as streaming + sub-tiled MXU one-hot dots (SPEED.md r4).
+        from torecsys_tpu.ops.pallas.sparse_update import sorted_segment_sum_wide
+
+        gsum = sorted_segment_sum_wide(wide, seg, interpret=_interpret())
+    else:
+        gsum = jax.ops.segment_sum(
+            wide, seg, num_segments=m, indices_are_sorted=True
+        )
     return uids, gsum
 
 
