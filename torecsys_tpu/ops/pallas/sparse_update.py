@@ -41,10 +41,9 @@ import os as _os
 # Tuning knobs (env-overridable for the bench's parameter sweeps; the
 # defaults are the measured winners on v5e — see SPEED.md).
 TILE = int(_os.environ.get("TORECSYS_TPU_RMW_TILE", "256"))
-# concurrent row DMAs in flight per phase
-WINDOW = int(_os.environ.get("TORECSYS_TPU_RMW_WINDOW", "16"))
-# partial unroll of the DMA loop (scalar-core loop overhead dominates
-# otherwise; full unroll explodes compile time)
+# rows per start-loop unroll step AND per grouped wait (the r4 window sweep
+# showed the old in-flight WINDOW knob irrelevant — the kernels are
+# scalar-issue bound, so the only loop parameter left is the unroll)
 UNROLL = int(_os.environ.get("TORECSYS_TPU_RMW_UNROLL", "8"))
 
 
