@@ -46,12 +46,13 @@ from torecsys_tpu.train.steps import (
 logger = logging.getLogger(__name__)
 
 # Auto-sparse threshold in total embedding-table ELEMENTS (rows x embed).
-# Measured v5e crossover (bench_embed.py, batch 4096x26, E=16, SPEED.md):
-# dense full-table Adam wins below ~0.9M logical rows (500k: dense
-# 3.14 ms/step vs sparse 3.75), the touched-rows path wins above (8M: 4.3 vs
-# 15.2; 30M: 4.6 vs 32.2).  1<<24 elements = 1M rows at E=16 — the same
-# number the comment in init_state refers to.
-SPARSE_AUTO_MIN_ELEMENTS = 1 << 24
+# Measured v5e crossover (bench_embed.py, batch 4096x26, E=16, SPEED.md r4):
+# dense full-table Adam wins clearly at 125k rows (1.36 ms/step vs sparse
+# 2.07), the touched-rows path wins from ~250k up (2.27 vs 2.38 at 250k;
+# 2.36 vs 3.20 at 500k; 3.61 vs 32.3 at 30M).  1<<22 elements = 256k rows
+# at E=16 — the conservative edge of the measured 150-250k crossover band
+# (r3's threshold was 1M rows; the r4 kernel work moved the crossover down).
+SPARSE_AUTO_MIN_ELEMENTS = 1 << 22
 
 
 class Trainer:
@@ -165,10 +166,10 @@ class Trainer:
             )
             if self.pipeline.sparse_embeddings is None and paths:
                 # Auto mode: the lazy path has a ~fixed per-step cost (sort +
-                # fused dedup/update kernel) while dense optimizer cost grows
-                # with table size; measured v5e crossover is ~0.9M logical
-                # rows at E=16 (SPARSE_AUTO_MIN_ELEMENTS = 1M rows x E).
-                # Below the threshold dense wins.
+                # dedup/update kernels) while dense optimizer cost grows
+                # with table size; measured v5e crossover is ~150-250k
+                # logical rows at E=16 (SPARSE_AUTO_MIN_ELEMENTS = 256k
+                # rows x E, the conservative edge).  Below it dense wins.
                 from flax import traverse_util
 
                 flat = traverse_util.flatten_dict(variables["params"], sep="/")
