@@ -265,3 +265,63 @@ def test_unique_stored_gather_matches_take(np_rng):
     out = jnp.einsum("mp,mpe->me", oh, wide)
     np.testing.assert_allclose(np.asarray(out), logical[np.asarray(ids)],
                                rtol=1e-6)
+
+
+def test_utils_decorators_and_tqdm_handler():
+    """Parity surface: in_development / deprecated / not_jittable decorators
+    (reference utils/decorator.py:9-66) and TqdmHandler (utils/logging.py)."""
+    import logging
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from torecsys_tpu.utils import (
+        TqdmHandler,
+        deprecated,
+        in_development,
+        not_jittable,
+    )
+
+    @in_development("x")
+    class Dev:
+        def __init__(self):
+            self.ok = True
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert Dev().ok
+        assert any(issubclass(x.category, FutureWarning) for x in w)
+
+    @deprecated("new_thing")
+    def old():
+        return 7
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert old() == 7
+        assert any("new_thing" in str(x.message) for x in w)
+
+    @not_jittable
+    def grow(x):
+        return x + 1
+
+    assert grow(1) == 2
+    with pytest.raises(RuntimeError, match="host-side"):
+        jax.jit(lambda v: grow(v))(jnp.ones(()))
+
+    # DSIN carries the reference's in-development marker
+    from torecsys_tpu.models import DeepSessionInterestNetworkModel
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        DeepSessionInterestNetworkModel(embed_size=4, max_num_session=2,
+                                        max_num_position=3)
+        assert any(issubclass(x.category, FutureWarning) for x in w)
+
+    handler = TqdmHandler()
+    handler.setFormatter(logging.Formatter("%(message)s"))
+    lg = logging.getLogger("trs_tqdm_test")
+    lg.addHandler(handler)
+    lg.warning("hello")  # must not raise
+    lg.removeHandler(handler)

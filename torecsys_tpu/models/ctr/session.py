@@ -28,9 +28,15 @@ from torecsys_tpu.layers.ctr import (
     PositionBiasAwareLearningFrameworkLayer,
 )
 from torecsys_tpu.models.base import CtrBaseModel, register_model
+from torecsys_tpu.utils.decorator import in_development
 
 
 @register_model("DSIN", "DeepSessionInterestNetwork")
+@in_development(
+    "the reference marks DSIN '[in development]' with no output head "
+    "(deep_session_interest_network.py:10); this port ADDS an optional "
+    "head (use_output_head) but keeps the status marker"
+)
 class DeepSessionInterestNetworkModel(CtrBaseModel):
     """DSIN over session behavior embeddings.
 

@@ -7,6 +7,8 @@ JAX: every helper here is a pure function that is safe to call inside a
 ``jax.jit`` trace.
 """
 
+from torecsys_tpu.utils.decorator import deprecated, in_development, not_jittable
+from torecsys_tpu.utils.logging import TqdmHandler
 from torecsys_tpu.utils.operations import (
     combination,
     dummy_attention,
@@ -19,7 +21,11 @@ from torecsys_tpu.utils.operations import (
 )
 
 __all__ = [
+    "TqdmHandler",
     "combination",
+    "deprecated",
+    "in_development",
+    "not_jittable",
     "dummy_attention",
     "get_reduction",
     "inner_product_similarity",
