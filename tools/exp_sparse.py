@@ -12,7 +12,6 @@ Stages:
   fwd_pallas     packed_lookup via Pallas row_gather (r3 opt-in)
   sort           sort_key_val(ids, arange) only
   sort_permute   sort + narrow (M,16) grad permute via jnp.take
-  permute_dma    sort + narrow grad permute via per-row HBM->HBM DMA kernel
   dedup          sort + permute + one-hot widen + segment_sum (full dedup)
   update         full sparse update (dedup + fused RMW kernel), no fwd
   rmw            RMW kernel alone on precomputed uids/gsum
@@ -160,89 +159,6 @@ def run(total_rows: int, stage: str):
             )
             sid, gs = sort_slot_grads(step_ids.reshape(BATCH, -1), g)
             return (t, acc + sid.sum() + gs.sum()), ()
-
-        ms, compile_s = timed_scan(body, (table, jnp.zeros(())), ids)
-    elif stage == "permute_dma":
-        from tools.exp_kernels import dma_row_permute
-
-        def body(carry, step_ids):
-            t, acc = carry
-            flat = step_ids.reshape(-1)
-            g = flat[:, None].astype(jnp.float32) * jnp.ones((1, EMBED))
-            sid, order = jax.lax.sort_key_val(
-                flat, jnp.arange(m, dtype=jnp.int32)
-            )
-            gs = dma_row_permute(g, order)
-            return (t, acc + sid.sum() + gs.sum()), ()
-
-        ms, compile_s = timed_scan(body, (table, jnp.zeros(())), ids)
-    elif stage == "widen":
-        # sort + permute + one-hot einsum widen only (no segsum)
-        def body(carry, step_ids):
-            t, acc = carry
-            g = step_ids.reshape(BATCH, -1, 1).astype(jnp.float32) * jnp.ones(
-                (1, 1, EMBED)
-            )
-            sid, gs = sort_slot_grads(step_ids.reshape(BATCH, -1), g)
-            lo = sid % pack
-            oh = jax.nn.one_hot(lo, pack, dtype=gs.dtype)
-            wide = jnp.einsum("mp,me->mpe", oh, gs).reshape(m, pack * EMBED)
-            return (t, acc + wide.sum()), ()
-
-        ms, compile_s = timed_scan(body, (table, jnp.zeros(())), ids)
-    elif stage == "uids_scatter":
-        # sort + the compact-uids scatter-set alone
-        from torecsys_tpu.ops.sparse import prefix_sum
-
-        def body(carry, step_ids):
-            t, acc = carry
-            flat = step_ids.reshape(-1)
-            sid = jax.lax.sort(flat)
-            hi = sid // pack
-            is_first = jnp.concatenate([jnp.ones((1,), bool), hi[1:] != hi[:-1]])
-            seg = prefix_sum(is_first.astype(jnp.int32)) - 1
-            uids = jnp.full((m,), vp, jnp.int32).at[seg].set(
-                hi, indices_are_sorted=True
-            )
-            return (t, acc + uids.sum()), ()
-
-        ms, compile_s = timed_scan(body, (table, jnp.zeros(())), ids)
-    elif stage == "segsum_narrow":
-        # sort + permute + narrow (M, E) sorted segment_sum (no widen)
-        from torecsys_tpu.ops.sparse import prefix_sum
-
-        def body(carry, step_ids):
-            t, acc = carry
-            g = step_ids.reshape(BATCH, -1, 1).astype(jnp.float32) * jnp.ones(
-                (1, 1, EMBED)
-            )
-            sid, gs = sort_slot_grads(step_ids.reshape(BATCH, -1), g)
-            is_first = jnp.concatenate([jnp.ones((1,), bool), sid[1:] != sid[:-1]])
-            seg = prefix_sum(is_first.astype(jnp.int32)) - 1
-            gsum = jax.ops.segment_sum(gs, seg, num_segments=m,
-                                       indices_are_sorted=True)
-            return (t, acc + gsum.sum()), ()
-
-        ms, compile_s = timed_scan(body, (table, jnp.zeros(())), ids)
-    elif stage == "cumsum_wide":
-        # sort + permute + widen + blocked 2-level prefix sum over (M, 128)
-        def body(carry, step_ids):
-            t, acc = carry
-            g = step_ids.reshape(BATCH, -1, 1).astype(jnp.float32) * jnp.ones(
-                (1, 1, EMBED)
-            )
-            sid, gs = sort_slot_grads(step_ids.reshape(BATCH, -1), g)
-            lo = sid % pack
-            oh = jax.nn.one_hot(lo, pack, dtype=gs.dtype)
-            wide = jnp.einsum("mp,me->mpe", oh, gs).reshape(m, w)
-            blk = 512
-            rows3 = wide.reshape(-1, blk, w)
-            within = jnp.cumsum(rows3, axis=1)
-            carry_rows = jnp.concatenate(
-                [jnp.zeros((1, w)), jnp.cumsum(within[:-1, -1, :], axis=0)]
-            )
-            csum = within + carry_rows[:, None, :]
-            return (t, acc + csum.sum()), ()
 
         ms, compile_s = timed_scan(body, (table, jnp.zeros(())), ids)
     elif stage == "dedup":

@@ -6,8 +6,9 @@ TPU the analogous op — ``jnp.take(packed_table, row_ids, axis=0)`` — is a
 random-access HBM gather and therefore *latency* bound, not bandwidth bound:
 XLA issues it as one serialized dynamic-gather loop. This kernel instead
 keeps the table in HBM and streams each requested row to the output block
-with a window of ``K`` concurrent async DMAs, so row fetches overlap and the
-effective throughput approaches the HBM random-access ceiling.
+with all row DMAs issued back-to-back and grouped waits (see
+``_gather_kernel``), so row fetches overlap and the throughput approaches
+the per-row DMA issue-rate ceiling.
 
 Layout contract: rows are *packed* (``torecsys_tpu.ops.embedding.pack_table``)
 so each stored row is ``P*E >= 128`` lanes wide — every DMA moves at least one

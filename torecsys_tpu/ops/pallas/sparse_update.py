@@ -6,10 +6,10 @@ the row's summed gradient, write all three back.  As separate XLA ops that is
 6 random-access gathers/scatters of ~100k rows each — XLA lowers each one as
 its own serialized dynamic-slice loop over HBM, measured ~10ms+ apiece on v5e
 for Criteo-shaped batches.  This kernel fuses the whole update into ONE pass:
-row indices are scalar-prefetched, every slot array streams through VMEM with
-a window of concurrent DMAs (the pattern proven by
-``ops/pallas/embedding.row_gather``), the optimizer math runs on the VPU over
-a whole tile, and outputs alias the inputs so the tables update in place —
+row indices are scalar-prefetched, every slot array streams through VMEM
+with all row DMAs issued back-to-back and grouped waits (the scheme shared
+with ``ops/pallas/embedding``), the optimizer math runs on the VPU over a
+whole tile, and outputs alias the inputs so the tables update in place —
 zero extra HBM copies of multi-GB state.
 
 Supported row-wise rules (selected by which slot arrays are passed):
