@@ -594,10 +594,12 @@ def test_sharded_row_update_executes_fused_kernel_interpreted(np_rng, monkeypatc
     calls = []
     real = sk.fused_rowwise_update
 
-    def spy(uids, gsum, table, slots, hyper, rule, interpret=False):
+    def spy(uids, gsum, table, slots, hyper, rule, interpret=False,
+            n_valid=None):
         calls.append({"rule": rule, "interpret": interpret,
                       "local_rows": int(table.shape[0])})
-        return real(uids, gsum, table, slots, hyper, rule, interpret=interpret)
+        return real(uids, gsum, table, slots, hyper, rule, interpret=interpret,
+                    n_valid=n_valid)
 
     monkeypatch.setattr(sk, "fused_rowwise_update", spy)
 

@@ -93,6 +93,65 @@ def native_available() -> bool:
     return _build_lib() is not None
 
 
+_SRC_PRESORT = os.path.join(_HERE, "id_preprocess.cc")
+_presort_lib: Optional[ctypes.CDLL] = None
+_presort_failed = False
+
+
+def _cached_path_for(src: str, tag: str) -> str:
+    with open(src, "rb") as f:
+        src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_root = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    cache_dir = os.path.join(cache_root, "torecsys_tpu")
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"_{tag}_{src_hash}.so")
+
+
+def presort_lib() -> Optional[ctypes.CDLL]:
+    """Compile + load the id-stream preprocessor (``id_preprocess.cc``).
+
+    Same hash-cached build scheme as the Criteo parser; returns None when no
+    toolchain is available (callers fall back to the NumPy implementation in
+    ``torecsys_tpu.data.presort``).
+    """
+    global _presort_lib, _presort_failed
+    with _lock:
+        if _presort_lib is not None:
+            return _presort_lib
+        if _presort_failed:
+            return None
+        try:
+            lib_path = _cached_path_for(_SRC_PRESORT, "id_preprocess")
+            if not os.path.exists(lib_path):
+                tmp_path = f"{lib_path}.tmp.{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-std=c++17", _SRC_PRESORT, "-o", tmp_path],
+                    check=True, capture_output=True,
+                )
+                os.replace(tmp_path, lib_path)
+            lib = ctypes.CDLL(lib_path)
+            lib.trs_presort_ids.restype = ctypes.c_int32
+            lib.trs_presort_ids.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int32, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            _presort_lib = lib
+            return _presort_lib
+        except (OSError, subprocess.CalledProcessError) as e:
+            logger.warning("native id preprocessor unavailable (%s); "
+                           "falling back to NumPy", e)
+            _presort_failed = True
+            return None
+
+
 def _fnv1a(token: bytes) -> int:
     """FNV-1a 32-bit — must match ``fnv1a`` in criteo_parser.cc exactly."""
     h = 2166136261
@@ -196,4 +255,5 @@ def parse_criteo_tsv(
     return {"label": labels[:rows], "dense": dense[:rows], "cats": cats[:rows]}
 
 
-__all__ = ["parse_criteo_tsv", "native_available", "NUM_DENSE", "NUM_CATS"]
+__all__ = ["parse_criteo_tsv", "native_available", "presort_lib",
+           "NUM_DENSE", "NUM_CATS"]

@@ -36,6 +36,35 @@ from torecsys_tpu.parallel.lookup import (
 )
 
 
+def _find_presort_aux(module, batch: Batch):
+    """Pick this module's host-presort aux arrays out of the batch, if the
+    input pipeline attached them (``data.presort.Presorter``).
+
+    The producer keys the arrays by a content hash of the module's id-stream
+    schema; the module recomputes the same hash here, so producer and
+    consumer need no shared registry.  Returns None when absent — the train
+    step then falls back to the on-device sort route.
+    """
+    if not sparse_grads_enabled():
+        return None
+    from torecsys_tpu.data.presort import AUX_NAMES, spec_for_module
+
+    spec = spec_for_module(module)
+    if spec is None or spec.aux_key("order") not in batch:
+        return None
+    return {name: batch[spec.aux_key(name)] for name in AUX_NAMES}
+
+
+def _sow_presort_aux(module, aux) -> None:
+    """Sow the aux under ``lookup_aux`` so the jitted train step can route
+    this table's update through ``ops.sparse.update_from_host_aux`` (the
+    sow lands next to the module's ``lookup_ids``, keeping producer and
+    consumer aligned without path bookkeeping)."""
+    if aux is not None:
+        for name, value in aux.items():
+            module.sow("lookup_aux", name, value)
+
+
 def _xavier_uniform():
     return nn.initializers.xavier_uniform()
 
@@ -99,16 +128,17 @@ class SingleIndexEmbedding(BaseInput):
         table = self.param("embedding", init, (self.field_size, self.embed_size))
         ids = self._stack_fields(batch, self.fields)  # (B, 1)
         if sparse_grads_enabled():
-            return self._sparse_lookup(table, ids)
+            return self._sparse_lookup(table, ids, _find_presort_aux(self, batch))
         return maybe_sharded_lookup(table, ids)  # (B, 1, E)
 
-    def _sparse_lookup(self, table, ids):
+    def _sparse_lookup(self, table, ids, aux=None):
         """Touched-rows-only gradient path (see ``ops.sparse``): rows come
         from a stop-gradient view; per-slot grads flow through the
         perturbation; the ids are sown for the row-wise optimizer."""
         rows = maybe_sharded_lookup(jax.lax.stop_gradient(table), ids)
         rows = self.perturb("lookup", rows)
         self.sow("lookup_ids", "ids", ids)
+        _sow_presort_aux(self, aux)
         return rows
 
 
@@ -149,13 +179,13 @@ class MultiIndicesEmbedding(BaseInput):
 
     def __call__(self, batch: Batch, training: bool = False) -> jnp.ndarray:
         ids = self._stack_fields(batch, self.fields)  # (B, N)
-        out = self.embed(ids)
+        out = self.embed(ids, aux=_find_presort_aux(self, batch))
         if self.flatten:
             b = out.shape[0]
             out = out.reshape(b, 1, -1)
         return out
 
-    def embed(self, ids: jnp.ndarray) -> jnp.ndarray:
+    def embed(self, ids: jnp.ndarray, aux=None) -> jnp.ndarray:
         """Direct tensor-level lookup of raw per-field ids ``(B, N) → (B, N, E)``."""
         shifted = ids + jnp.asarray(self.offsets, dtype=ids.dtype)[None, :]
         if sparse_grads_enabled():
@@ -166,6 +196,7 @@ class MultiIndicesEmbedding(BaseInput):
             )
             rows = self.perturb("lookup", rows)
             self.sow("lookup_ids", "ids", shifted)
+            _sow_presort_aux(self, aux)
             return rows
         return maybe_sharded_packed_lookup(self.table, shifted, self.embed_size)
 
@@ -204,7 +235,9 @@ class MultiIndicesFieldAwareEmbedding(BaseInput):
         shifted = ids + jnp.asarray(self.offsets, dtype=ids.dtype)[None, :]
         b = ids.shape[0]
         if sparse_grads_enabled():
-            out = self._sparse_lookup(shifted, n).reshape(b, n * n, self.embed_size)
+            out = self._sparse_lookup(
+                shifted, n, _find_presort_aux(self, batch)
+            ).reshape(b, n * n, self.embed_size)
         else:
             # vmap the lookup over the N tables:
             # (N, Vp, P*E) x (B, N) -> (N, B, N, E)
@@ -217,7 +250,7 @@ class MultiIndicesFieldAwareEmbedding(BaseInput):
             out = out.reshape(b, 1, -1)
         return out
 
-    def _sparse_lookup(self, shifted: jnp.ndarray, n: int) -> jnp.ndarray:
+    def _sparse_lookup(self, shifted: jnp.ndarray, n: int, aux=None) -> jnp.ndarray:
         """Touched-rows-only gradient path over the N logical tables.
 
         The ``(N, Vp, P*E)`` parameter is viewed as one flat packed table of
@@ -235,6 +268,7 @@ class MultiIndicesFieldAwareEmbedding(BaseInput):
         rows = maybe_sharded_packed_lookup(flat_tables, gids, self.embed_size)
         rows = self.perturb("lookup", rows)
         self.sow("lookup_ids", "ids", gids)
+        _sow_presort_aux(self, aux)
         return rows
 
 

@@ -176,7 +176,8 @@ def _make_kernel(num_slots: int, rule: str):
 
 
 @functools.partial(jax.jit, static_argnames=("rule", "interpret"))
-def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
+def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False,
+                  n_valid=None):
     num = uids.shape[0]
     pad = (-num) % TILE
     if pad:
@@ -187,7 +188,12 @@ def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
     w = table.shape[1]
     n_arr = 1 + len(slots)
 
-    n_valid = jnp.sum(uids < table.shape[0], dtype=jnp.int32).reshape(1)
+    if n_valid is None:
+        n_valid = jnp.sum(uids < table.shape[0], dtype=jnp.int32).reshape(1)
+    else:
+        # trusted host-computed unique count (data.presort) — skips the
+        # device-side reduction over the M-sized uid stream
+        n_valid = n_valid.astype(jnp.int32).reshape(1)
     # DYNAMIC grid bound: uids is sentinel-padded with all valid entries in a
     # prefix (dedup contract), so only ceil(n_valid/TILE) tiles hold work.
     # The static bound is the batch's slot count (~100k positions -> 400+
@@ -237,6 +243,147 @@ def _fused_update(uids, gsum, table, slots, hyper, rule, interpret=False):
         ),
     )(uids.astype(jnp.int32), n_valid, hyper, gsum, table, *slots)
     return outs[0], list(outs[1:])
+
+
+def _make_widen_segsum_kernel(pack: int, embed: int):
+    """Widen-fused variant of the segsum kernel: NARROW sorted grads in.
+
+    Same combine/carry/output-window scheme as :func:`_make_segsum_kernel`,
+    but the input block is the ``(TILE_P, E)`` narrow sorted grad stream plus
+    the per-position in-row slot ``lo``; the one-hot widen to ``(TILE_P,
+    P*E)`` runs in-kernel on the VPU (the ``lane_slot == lo`` mask trick from
+    the fused dedup kernel).  Removes the XLA widen einsum's full (M, W)
+    HBM round-trip (~54 MB write + read at Criteo shapes) from the
+    decomposed sparse-update path — the widened rows now exist only in VMEM.
+    """
+    w = pack * embed
+
+    def kernel(first_seg_ref, cont_ref, seg_ref, lo_ref, g_ref, zeros_ref,
+               out_ref, partial_scr, carry_scr, sem):
+        del zeros_ref  # aliased onto out_ref: pre-zeroed backing buffer
+        t = pl.program_id(0)
+        base_seg = first_seg_ref[t]
+        cont_in = cont_ref[t]
+        cont_out = cont_ref[t + 1]
+        nseg = first_seg_ref[t + 1] - base_seg + cont_out
+
+        g = g_ref[0]                        # (TILE_P, E)
+        lo = lo_ref[0, 0, :]                # (TILE_P,)
+        seg_local = seg_ref[0, 0, :] - base_seg
+        if pack > 1:
+            # lane c of the wide row holds g[:, c % E] iff lo == c // E
+            lane_slot = jax.lax.broadcasted_iota(jnp.int32, (TILE_P, w), 1) // embed
+            g_rep = pltpu.repeat(g, pack, axis=1)
+            wide = jnp.where(lane_slot == lo[:, None], g_rep,
+                             jnp.zeros((), g.dtype))
+        else:
+            wide = g
+        partial_scr[:] = jnp.zeros_like(partial_scr)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (SUB, SUB), 0)
+        for k in range(TILE_P // SUB):
+            pos0 = k * SUB
+            seg_sub = seg_local[pos0:pos0 + SUB]
+            win0 = seg_sub[0]
+            rel = seg_sub - win0
+            oh = (sub_iota == rel[None, :]).astype(wide.dtype)
+            acc = jax.lax.dot(
+                oh, wide[pos0:pos0 + SUB], preferred_element_type=jnp.float32,
+                precision=_DOT_PRECISION,
+            )
+            partial_scr[pl.ds(win0, SUB), :] += acc
+
+        @pl.when(cont_in == 1)
+        def _():
+            partial_scr[0:1, :] += carry_scr[:]
+
+        @pl.when(cont_out == 1)
+        def _():
+            carry_scr[:] = partial_scr[pl.ds(nseg - 1, 1), :]
+
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (TILE_P, partial_scr.shape[1]), 0
+        )
+        partial_scr[0:TILE_P, :] = jnp.where(
+            row_iota < nseg, partial_scr[0:TILE_P, :], 0.0
+        )
+
+        out_dma = pltpu.make_async_copy(
+            partial_scr.at[pl.ds(0, TILE_P), :],
+            out_ref.at[pl.ds(base_seg, TILE_P), :],
+            sem,
+        )
+        out_dma.start()
+        out_dma.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("pack", "interpret"))
+def sorted_widen_segment_sum(g_sorted, lo, seg, pack, interpret=False):
+    """Compact per-segment WIDE sums of a sorted narrow grad stream.
+
+    Args:
+        g_sorted: ``(M, E)`` f32 narrow per-slot grads, sorted by id.
+        lo: ``(M,)`` int32 in-stored-row slot (``id % pack``) per position.
+        seg: ``(M,)`` int32 nondecreasing stored-row segment index.
+        pack: logical rows per stored row (``P``; ``P*E % 128 == 0``).
+
+    Returns:
+        ``(M, P*E)`` — row ``s`` holds the widened sum of ``seg == s``
+        positions; rows past the last segment are zero.
+    """
+    m, e = g_sorted.shape
+    w = pack * e
+    pad = (-m) % TILE_P
+    if pad:
+        g_sorted = jnp.pad(g_sorted, ((0, pad), (0, 0)))
+        lo = jnp.pad(lo, (0, pad))
+        seg = jnp.concatenate([seg, jnp.full((pad,), seg[-1], seg.dtype)])
+    mp = m + pad
+    t_tiles = mp // TILE_P
+    first_seg = jnp.concatenate([seg[::TILE_P], seg[-1:] + 1])
+    cont_mid = (seg[TILE_P::TILE_P] == seg[TILE_P - 1::TILE_P][:-1]).astype(jnp.int32)
+    cont = jnp.concatenate([jnp.zeros((1,), jnp.int32), cont_mid,
+                            jnp.zeros((1,), jnp.int32)])
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # first_seg, cont
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, TILE_P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # seg
+            pl.BlockSpec((1, 1, TILE_P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # lo
+            pl.BlockSpec((1, TILE_P, e), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),          # g
+            pl.BlockSpec(memory_space=pl.ANY),              # zeros (aliased)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_P + SUB, w), jnp.float32),
+            pltpu.VMEM((1, w), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    zeros = jnp.zeros((mp + TILE_P, w), jnp.float32)
+    out = pl.pallas_call(
+        _make_widen_segsum_kernel(pack, e),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((mp + TILE_P, w), jnp.float32),
+        # flattened inputs: first_seg, cont, seg, lo, g, zeros → alias zeros
+        input_output_aliases={5: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * SUB * w,
+            bytes_accessed=mp * (e + w) * 4,
+            transcendentals=0,
+        ),
+    )(first_seg, cont, seg.reshape(t_tiles, 1, TILE_P),
+      lo.astype(jnp.int32).reshape(t_tiles, 1, TILE_P),
+      g_sorted.reshape(t_tiles, TILE_P, e), zeros)
+    return out[:m]
 
 
 def _make_segsum_kernel():
@@ -726,6 +873,7 @@ def fused_rowwise_update(
     hyper: jnp.ndarray,
     rule: str,
     interpret: bool = False,
+    n_valid: jnp.ndarray | None = None,
 ):
     """Apply a row-wise optimizer rule to the unique touched rows, fused.
 
@@ -745,4 +893,4 @@ def fused_rowwise_update(
     """
     assert rule in ("adam", "adagrad", "sgd"), rule
     return _fused_update(uids, gsum, table, tuple(slots), hyper, rule,
-                         interpret=interpret)
+                         interpret=interpret, n_valid=n_valid)

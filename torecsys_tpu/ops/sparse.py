@@ -157,24 +157,38 @@ def _combine_sorted_stored(sorted_ids, g_sorted, pack, num_stored_rows):
     uids = jnp.full((m,), num_stored_rows, jnp.int32).at[seg].set(
         hi, indices_are_sorted=True
     )
+    gsum = _sorted_gsum(g_sorted, sorted_ids % pack, seg, pack)
+    return uids, gsum
+
+
+def _sorted_gsum(g_sorted, lo, seg, pack):
+    """Segment-sum a sorted NARROW grad stream into wide stored-row sums.
+
+    Kernel path (TPU / interpret): ``sorted_widen_segment_sum`` — the
+    one-hot widen runs in-kernel on the VPU, so the ``(M, P*E)`` widened
+    stream never round-trips HBM (r4's widen einsum wrote + re-read ~54 MB
+    at Criteo shapes); the combine is the same streaming + sub-tiled MXU
+    scheme.  XLA fallback: einsum widen + sorted ``segment_sum`` (XLA
+    lowers it to a row-granular scatter-add, ~8 ns/row — see SPEED.md).
+    """
+    m, e = g_sorted.shape
+    if _fused_eligible_width(pack * e, g_sorted.dtype) or _interpret():
+        from torecsys_tpu.ops.pallas.sparse_update import (
+            sorted_segment_sum_wide,
+            sorted_widen_segment_sum,
+        )
+
+        if pack == 1:
+            return sorted_segment_sum_wide(g_sorted, seg, interpret=_interpret())
+        return sorted_widen_segment_sum(
+            g_sorted, lo, seg, pack, interpret=_interpret()
+        )
     if pack == 1:
         wide = g_sorted
     else:
-        lo = sorted_ids % pack
         oh = jax.nn.one_hot(lo, pack, dtype=g_sorted.dtype)
         wide = jnp.einsum("mp,me->mpe", oh, g_sorted).reshape(m, pack * e)
-    if _fused_eligible(wide) or _interpret():
-        # XLA lowers the sorted segment_sum to a row-granular scatter-add
-        # (~8 ns/row ≈ 1 ms at Criteo shapes); the thin Pallas kernel does
-        # it as streaming + sub-tiled MXU one-hot dots (SPEED.md r4).
-        from torecsys_tpu.ops.pallas.sparse_update import sorted_segment_sum_wide
-
-        gsum = sorted_segment_sum_wide(wide, seg, interpret=_interpret())
-    else:
-        gsum = jax.ops.segment_sum(
-            wide, seg, num_segments=m, indices_are_sorted=True
-        )
-    return uids, gsum
+    return jax.ops.segment_sum(wide, seg, num_segments=m, indices_are_sorted=True)
 
 
 def dedup_sum_fields(
@@ -234,6 +248,23 @@ def _interpret() -> bool:
     return _pallas.sparse_interpret()
 
 
+def _fused_eligible_width(width: int, dtype) -> bool:
+    """Shape/dtype/backend gate of :func:`_fused_eligible`, without needing
+    a materialized rows view (the widen-fused segsum kernel is chosen from
+    the NARROW stream's ``pack * e`` width)."""
+    from torecsys_tpu.ops import pallas as _pallas
+
+    return (
+        width % 128 == 0
+        and dtype == jnp.float32
+        and _pallas.sparse_update_enabled()
+        and (
+            _sharded_update_ctx() is None
+            or getattr(_state, "shard_local", False)
+        )
+    )
+
+
 def _fused_eligible(rows_view: jnp.ndarray) -> bool:
     """True when the fused Pallas update kernel can take this table.
 
@@ -249,17 +280,7 @@ def _fused_eligible(rows_view: jnp.ndarray) -> bool:
     execution GSPMD falls back to is exactly the single-device semantics
     (r3 ADVICE: the old gate disabled the kernel for ANY active context).
     """
-    from torecsys_tpu.ops import pallas as _pallas
-
-    return (
-        rows_view.shape[-1] % 128 == 0
-        and rows_view.dtype == jnp.float32
-        and _pallas.sparse_update_enabled()
-        and (
-            _sharded_update_ctx() is None
-            or getattr(_state, "shard_local", False)
-        )
-    )
+    return _fused_eligible_width(rows_view.shape[-1], rows_view.dtype)
 
 
 @contextlib.contextmanager
@@ -425,6 +446,46 @@ class _RowOptimizerBase:
             return sharded_row_update(self, table, slots, uids, gsum, step, ctx)
         return self.update(table, slots, uids, gsum, step)
 
+    def update_from_host_aux(self, table, slots, flat_g, aux, step):
+        """Trusted PRESORTED route: the id-stream preprocessing — sort
+        order, in-row slots, stored-row segment ids, compact unique
+        stored-row ids, unique count — arrives precomputed from the HOST
+        input pipeline (``data.presort``), overlapped with device steps.
+
+        Removes three row-granular device passes the on-device route pays
+        per step (measured on v5e at Criteo shapes, SPEED.md r5): the id
+        sort (~0.37 ms), the prefix-sum + compact-uids scatter (~0.4 ms),
+        and the M-wide valid-count reduction.  The device-side work left is
+        the narrow grad permute (host order), the widen-fused segment-sum
+        kernel, and the touched-row RMW kernel.
+
+        Args:
+            flat_g: ``(M, E)`` per-slot grads in original slot order.
+            aux: dict with ``order`` (M,), ``lo`` (M,), ``seg`` (M,),
+                ``uids`` (M,) compact ascending sentinel-padded, and
+                ``n_unique`` scalar — the :class:`data.presort.Presorter`
+                contract (validated against the device route by
+                ``tests/test_presort.py``).
+        """
+        e = flat_g.shape[-1]
+        shape = table.shape
+        w = shape[-1]
+        pack = w // e
+        tbl = table.reshape(-1, w)
+        g_sorted = jnp.take(flat_g, aux["order"], axis=0)
+        gsum = _sorted_gsum(g_sorted, aux["lo"], aux["seg"], pack)
+        uids = aux["uids"].astype(jnp.int32)
+        ctx = _sharded_update_ctx()
+        if (
+            ctx is not None
+            and table.ndim == 2
+            and tbl.shape[0] % ctx.mesh.shape[ctx.table_axis] == 0
+            and tbl.shape[0] >= ctx.min_rows_to_shard
+        ):
+            return sharded_row_update(self, table, slots, uids, gsum, step, ctx)
+        return self.update(table, slots, uids, gsum, step,
+                           n_valid=aux.get("n_unique"))
+
 
 @dataclasses.dataclass(frozen=True)
 class RowAdam(_RowOptimizerBase):
@@ -473,7 +534,7 @@ class RowAdam(_RowOptimizerBase):
     def _slots_from_tuple(self, new_slots, slots):
         return {"mv": new_slots[0].reshape(slots["mv"].shape)}
 
-    def update(self, table, slots, uids, gsum, step):
+    def update(self, table, slots, uids, gsum, step, n_valid=None):
         e = gsum.shape[-1]
         shape = table.shape
         mv_shape = slots["mv"].shape
@@ -488,7 +549,7 @@ class RowAdam(_RowOptimizerBase):
             hyper, _ = self.hyper_and_rule(step)
             new_t, (new_mv,) = fused_rowwise_update(
                 uids, gsum, tbl, (mv,), hyper, "adam",
-                interpret=_interpret(),
+                interpret=_interpret(), n_valid=n_valid,
             )
             return new_t.reshape(shape), {"mv": new_mv.reshape(mv_shape)}
         row_u, mv_u = _take0(tbl, uids), _take0(mv, uids)
@@ -528,7 +589,7 @@ class RowAdagrad(_RowOptimizerBase):
     def _slots_from_tuple(self, new_slots, slots):
         return {"v": new_slots[0].reshape(slots["v"].shape)}
 
-    def update(self, table, slots, uids, gsum, step):
+    def update(self, table, slots, uids, gsum, step, n_valid=None):
         e = gsum.shape[-1]
         shape = table.shape
         tbl, v = _rows(table, e), _rows(slots["v"], e)
@@ -538,7 +599,7 @@ class RowAdagrad(_RowOptimizerBase):
             hyper, _ = self.hyper_and_rule(step)
             new_t, (new_v,) = fused_rowwise_update(
                 uids, gsum, tbl, (v,), hyper, "adagrad",
-                interpret=_interpret(),
+                interpret=_interpret(), n_valid=n_valid,
             )
             return new_t.reshape(shape), {"v": new_v.reshape(shape)}
         row_u, v_u = _take0(tbl, uids), _take0(v, uids)
@@ -566,7 +627,7 @@ class RowSGD(_RowOptimizerBase):
             jnp.float32(0), jnp.float32(0), jnp.float32(1), jnp.float32(1),
         ]), "sgd"
 
-    def update(self, table, slots, uids, gsum, step):
+    def update(self, table, slots, uids, gsum, step, n_valid=None):
         e = gsum.shape[-1]
         shape = table.shape
         tbl = _rows(table, e)
@@ -576,6 +637,7 @@ class RowSGD(_RowOptimizerBase):
             hyper, _ = self.hyper_and_rule(step)
             new_t, _ = fused_rowwise_update(
                 uids, gsum, tbl, (), hyper, "sgd", interpret=_interpret(),
+                n_valid=n_valid,
             )
             return new_t.reshape(shape), {}
         row_u = _take0(tbl, uids)

@@ -30,6 +30,7 @@ from torecsys_tpu.ops.sparse import use_sparse_embedding_grads
 SEP = "/"
 PERTURB_NAME = "lookup"
 IDS_COLLECTION = "lookup_ids"
+AUX_COLLECTION = "lookup_aux"
 IDS_NAME = "ids"
 PARAM_NAME = "embedding"
 
@@ -116,3 +117,26 @@ def sown_ids(mutated: Dict, pert_path: str) -> jnp.ndarray:
             "per module per step (set Pipeline.sparse_embeddings=False)"
         )
     return entry[0]
+
+
+def sown_aux(mutated: Dict, pert_path: str):
+    """Host-presort aux sown by the module owning ``pert_path``, or None.
+
+    Modules sow ``order/lo/seg/uids/n_unique`` under ``lookup_aux`` when the
+    input pipeline attached them (``data.presort``); presence routes the
+    train step through ``ops.sparse.update_from_host_aux`` (the trusted
+    presorted path).  The sow tuples carry exactly one entry per step —
+    guaranteed by the same single-application check as :func:`sown_ids`.
+    """
+    if AUX_COLLECTION not in mutated:
+        return None
+    flat = traverse_util.flatten_dict(mutated[AUX_COLLECTION], sep=SEP)
+    prefix = SEP.join(pert_path.split(SEP)[:-1])
+    names = ("order", "lo", "seg", "uids", "n_unique")
+    aux = {}
+    for name in names:
+        entry = flat.get(f"{prefix}{SEP}{name}" if prefix else name)
+        if entry is None:
+            return None
+        aux[name] = entry[0]
+    return aux

@@ -32,6 +32,7 @@ from torecsys_tpu.train.sparse import (
     is_hybrid_opt_state,
     merge_params,
     probe_perturbations,
+    sown_aux,
     sown_ids,
     split_params,
     table_path_for,
@@ -192,7 +193,7 @@ def make_train_step(pipeline: Pipeline) -> Callable[[TrainState, Batch], Tuple[T
                 "params": params,
                 "perturbations": traverse_util.unflatten_dict(pert_flat, sep="/"),
             }
-            mutable = ["lookup_ids"]
+            mutable = ["lookup_ids", "lookup_aux"]
             if state.batch_stats:
                 variables["batch_stats"] = state.batch_stats
                 mutable.append("batch_stats")
@@ -225,6 +226,18 @@ def make_train_step(pipeline: Pipeline) -> Callable[[TrainState, Batch], Tuple[T
             tp = table_path_for(pert_path)
             table = tables[tp]
             e = g.shape[-1]
+            aux = sown_aux(mut, pert_path)
+            if aux is not None:
+                # TRUSTED presorted route: the input pipeline attached this
+                # stream's sort order / segment ids / compact unique rows
+                # (data.presort, overlapped with device steps) — the device
+                # skips its sort, prefix-scan, uid scatter and valid-count
+                # passes.  Measured on v5e (SPEED.md r5).
+                new_tables[tp], new_sparse_opt[tp] = row_tx.update_from_host_aux(
+                    table, state.opt_state["sparse"][tp], g.reshape(-1, e),
+                    aux, state.step,
+                )
+                continue
             # Sort the per-slot grads by row id, then hand the sorted stream
             # to the row optimizer: on TPU the dedup (one-hot widen + segment
             # combine) and the touched-row RMW update run fused in ONE Pallas

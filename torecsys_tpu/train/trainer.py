@@ -76,6 +76,18 @@ class Trainer:
             training auto-resumes from the newest one — preemption recovery
             (SURVEY.md §5.4) without any flag juggling.  ``load_from`` wins
             over auto-resume when both apply.
+        presort: host-side id-stream preprocessing (``data.presort``) —
+            batches get sort order / segment / unique-row aux attached in
+            the input pipeline so the jitted sparse step skips its device
+            sort/scan/scatter passes (measured win on v5e, SPEED.md r5).
+            None (default) = auto: on whenever the sparse path is active,
+            the data mesh axis is unsharded, and the run is single-host
+            (the aux describes the GLOBAL batch; per-shard presort is
+            deliberately not implemented).  True forces the attempt (still
+            gated on the sparse path), False disables.
+        prefetch: look-ahead depth of the host input pipeline; batch
+            preparation (presort, loader IO) for step ``i+k`` overlaps the
+            device executing step ``i`` via ``data.prefetch``.  0 disables.
     """
 
     def __init__(
@@ -91,6 +103,8 @@ class Trainer:
         resume: bool = True,
         ndcg_k: Optional[int] = 10,
         lookup_options: Optional[Dict] = None,
+        presort: Optional[bool] = None,
+        prefetch: int = 4,
     ):
         self.pipeline = pipeline.finalize()
         self.mesh = mesh
@@ -108,6 +122,9 @@ class Trainer:
         # the same threshold feeds shard_params so placement and lookup
         # routing always agree on which tables are sharded.
         self.lookup_options = dict(lookup_options or {})
+        self.presort = presort
+        self.prefetch = max(0, int(prefetch))
+        self._presorter = None
         self.state: Optional[TrainState] = None
         self.history: list = []
 
@@ -280,6 +297,59 @@ class Trainer:
         re-iterated (one-shot generators only survive a single epoch)."""
         return iter(loader() if callable(loader) else loader)
 
+    def _setup_presorter(self):
+        """Build the host presorter once state exists (the sparse-vs-dense
+        decision — including the auto element threshold — is made in
+        ``init_state``).  See the ``presort`` constructor arg for the gates."""
+        if self._presorter is not None:
+            return
+        if self.presort is False or not getattr(self, "_sparse", False):
+            return
+        if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+            if self.presort:
+                logger.warning(
+                    "presort disabled: the data mesh axis is sharded and the "
+                    "host aux describes the global batch"
+                )
+            return
+        if jax.process_count() > 1:
+            if self.presort:
+                logger.warning("presort disabled: multi-host run")
+            return
+        from torecsys_tpu.data.presort import Presorter, build_presort_specs
+
+        specs = build_presort_specs(self.pipeline.inputs)
+        if not specs:
+            return
+        self._presorter = Presorter(specs)
+        logger.info(
+            "host presort active for %d id stream(s) (trusted presorted "
+            "sparse-update route)", len(specs)
+        )
+
+    def _train_batches(self, train_loader):
+        """The per-epoch training batch stream: init state from the first
+        batch if needed, then run the host pipeline (presort transform under
+        ``prefetch``-deep threaded look-ahead) over the rest."""
+        import itertools
+
+        it = self._epoch_iter(train_loader)
+        if self.state is None:
+            first = next(it, None)
+            if first is None:
+                return iter(())
+            self.init_state(first)
+            self._setup_presorter()
+            it = itertools.chain([first], it)
+        transform = self._presorter
+        if transform is None and self.prefetch == 0:
+            return it
+        from torecsys_tpu.data.prefetch import prefetch_map
+
+        workers = min(4, max(1, self.prefetch))
+        return prefetch_map(it, transform, num_workers=workers,
+                            depth=max(1, self.prefetch))
+
     def fit(
         self,
         train_loader: Iterable[Dict[str, np.ndarray]],
@@ -325,10 +395,13 @@ class Trainer:
             if self.state is not None:
                 self.state = self.state.reset_metrics()
             buf = []
-            for batch in self._epoch_iter(train_loader):
-                if self.state is None:
-                    self.init_state(batch)
-                n_examples += next(iter(batch.values())).shape[0]
+            for batch in self._train_batches(train_loader):
+                # count from a real feature column (presort aux entries are
+                # flat (B*K,) or scalar arrays)
+                n_examples += next(
+                    v.shape[0] for k, v in batch.items()
+                    if not k.startswith("__presort__")
+                )
                 if self.profile_dir and step >= 4 and not getattr(self, "_profiling", False):
                     self._profiling = True
                     jax.profiler.start_trace(self.profile_dir)
