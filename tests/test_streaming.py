@@ -126,3 +126,34 @@ def test_stream_trainer_fit_converges():
     tr = Trainer(p, log_every=10_000)
     m = tr.fit(train_it, val_loader=val_it, max_epochs=6)
     assert m["val_auc"] > 0.6, m
+
+
+def test_shard_batch_counts_match_yields(whole_file):
+    """The one-pass count equals what each shard actually yields (with
+    sync off), and is identical from every shard's viewpoint."""
+    kw = dict(batch_size=64, shuffle=False, num_shards=2, sync_batches=False)
+    it0 = CriteoFileIterable(SAMPLE, HASHES, shard_index=0, **kw)
+    it1 = CriteoFileIterable(SAMPLE, HASHES, shard_index=1, **kw)
+    for it in (it0, it1):
+        it.chunk_bytes = 1 << 14
+    counts0 = it0.shard_batch_counts()
+    counts1 = it1.shard_batch_counts()
+    assert counts0 == counts1  # every host computes the same global view
+    assert len(list(it0)) == counts0[0]
+    assert len(list(it1)) == counts0[1]
+
+
+def test_multihost_sync_truncates_to_min(whole_file):
+    """With sync on (the default), BOTH shards yield exactly
+    min(per-shard counts) batches — equal SPMD step counts (r4 ADVICE
+    medium: uneven chunk ownership desynchronizes the collectives)."""
+    kw = dict(batch_size=64, shuffle=False, num_shards=2)
+    its = [CriteoFileIterable(SAMPLE, HASHES, shard_index=i, **kw)
+           for i in range(2)]
+    for it in its:
+        it.chunk_bytes = 1 << 14
+    raw_counts = its[0].shard_batch_counts()
+    # the fixture file must actually exercise the uneven case
+    assert min(raw_counts) >= 1
+    n0, n1 = (len(list(it)) for it in its)
+    assert n0 == n1 == min(raw_counts)

@@ -79,26 +79,39 @@ def collective_bytes(fn, *args):
     return out
 
 
-def main():
-    mesh = make_mesh(data=1, table=8)
-    vp, w = packed_shape(V, E)
+def measure_shape(batch=B, fields=K, embed=E, vocab=V, table_shards=8,
+                  capacity_factor=2.0):
+    """Measured per-device collective bytes of both strategies at one shape.
+
+    Returns ``{"shape": {...}, "psum": {...}, "alltoall": {...}}`` with
+    forward and forward+backward per-collective byte counts from the
+    optimized HLO.  Used standalone AND by the off-calibration model
+    validation test (tests/test_parallel.py) — HLO byte counts depend only
+    on shapes, so a virtual CPU mesh measures the real comm volume.
+    """
+    if 8 % table_shards:
+        raise ValueError("table_shards must divide the 8 virtual devices")
+    mesh = make_mesh(data=8 // table_shards, table=table_shards)
+    vp, w = packed_shape(vocab, embed)
     rng = np.random.default_rng(0)
     table = jnp.asarray(rng.normal(0, 0.01, (vp, w)).astype(np.float32))
-    raw = rng.zipf(1.2, size=(B, K))
-    ids = jnp.asarray(np.minimum(raw - 1, V - 1).astype(np.int32))
+    raw = rng.zipf(1.2, size=(batch, fields))
+    ids = jnp.asarray(np.minimum(raw - 1, vocab - 1).astype(np.int32))
 
-    results = {"shapes": {"batch": B, "fields": K, "embed": E, "vocab": V,
-                          "mesh": "1x8 (data,table)"}}
+    results = {"shape": {"batch": batch, "fields": fields, "embed": embed,
+                         "vocab": vocab, "table_shards": table_shards,
+                         "capacity_factor": capacity_factor}}
     for name, ctx in (
         ("psum", LookupContext(mesh=mesh, min_rows_to_shard=0)),
         ("alltoall", LookupContext(mesh=mesh, min_rows_to_shard=0,
-                                   strategy="alltoall", capacity_factor=2.0)),
+                                   strategy="alltoall",
+                                   capacity_factor=capacity_factor)),
     ):
         fwd = (sharded_packed_lookup_alltoall if ctx.strategy == "alltoall"
                else sharded_packed_lookup)
 
         def f(t, i, fwd=fwd, ctx=ctx):
-            return fwd(t, i, E, ctx)
+            return fwd(t, i, embed, ctx)
 
         def fwd_bwd(t, i, f=f):
             return jax.grad(lambda tt: jnp.sum(f(tt, i) ** 2))(t)
@@ -107,8 +120,45 @@ def main():
             "forward": collective_bytes(f, table, ids),
             "forward+backward": collective_bytes(fwd_bwd, table, ids),
         }
-    print(json.dumps(results, indent=2))
     return results
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", action="store_true",
+                    help="measure the model-calibration shape set and write "
+                         "COMM_VOLUME.json")
+    args = ap.parse_args()
+    if not args.sweep:
+        print(json.dumps(measure_shape(), indent=2))
+        return
+
+    # Calibration + off-calibration shapes (VERDICT r4 ask #7): the anchor
+    # shape, a wide-embedding variant, a small-table-axis variant, a fewer-
+    # fields variant, and capacity extremes.
+    shapes = [
+        dict(),                                         # anchor (B4096 K26 E16 ts8 cap2)
+        dict(embed=64),
+        dict(table_shards=4),
+        dict(fields=4, vocab=200_000),
+        dict(capacity_factor=1.0),
+        dict(capacity_factor=6.0),
+        dict(embed=64, table_shards=4, capacity_factor=4.0),
+    ]
+    records = [measure_shape(**s) for s in shapes]
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "COMM_VOLUME.json")
+    with open(out, "w") as fp:
+        json.dump(records, fp, indent=1)
+    for r in records:
+        print(json.dumps({
+            "shape": r["shape"],
+            "psum_mb": round(r["psum"]["forward+backward"]["total"] / 1e6, 2),
+            "a2a_mb": round(r["alltoall"]["forward+backward"]["total"] / 1e6, 2),
+        }))
+    print(f"wrote {out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

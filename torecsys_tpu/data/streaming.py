@@ -60,6 +60,17 @@ class CriteoFileIterable:
             default to ``jax.process_index()/count()`` when a jax runtime is
             up, else single-shard.
         drop_remainder: drop the final sub-batch-size rows (default True).
+        sync_batches: multi-host only (default True) — truncate every
+            host's epoch to the MINIMUM per-shard batch count so all hosts
+            dispatch the same number of SPMD steps.  Chunk ownership is
+            strided and chunks hold unequal row counts, so without this the
+            hosts' loaders exhaust at different step counts and the jitted
+            collectives desynchronize (hang).  The counts come from a
+            one-time newline-counting pass over the file (every host
+            already reads the full byte stream to stride chunks, so each
+            host computes ALL shards' counts locally and independently
+            arrives at the same minimum — no collective needed); the pass
+            is cached per (path, size, mtime).
     """
 
     def __init__(
@@ -74,6 +85,7 @@ class CriteoFileIterable:
         shard_index: Optional[int] = None,
         num_shards: Optional[int] = None,
         drop_remainder: bool = True,
+        sync_batches: bool = True,
     ):
         if len(tuple(hash_sizes)) != NUM_CATS:
             raise ValueError(f"hash_sizes must have {NUM_CATS} entries")
@@ -97,22 +109,24 @@ class CriteoFileIterable:
             raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
         self.shard_index = shard_index
         self.num_shards = num_shards
+        self.sync_batches = sync_batches
         self._epoch = 0
+        self._count_cache = None  # ((path, size, mtime), per-shard rows)
 
     # -- chunk reader ------------------------------------------------------
 
-    def _chunks(self) -> Iterator[bytes]:
-        """Line-aligned chunks of ~``chunk_bytes``; this host takes every
-        ``num_shards``-th one.  The partial tail line of a chunk is carried
-        into the next so no row is split or lost."""
+    def _all_chunks(self) -> Iterator[tuple]:
+        """``(chunk_index, line-aligned bytes)`` for EVERY chunk of the file.
+        The partial tail line of a chunk is carried into the next so no row
+        is split or lost."""
         chunk_idx = 0
         with open(self.path, "rb") as f:
             tail = b""
             while True:
                 buf = f.read(self.chunk_bytes)
                 if not buf:
-                    if tail and chunk_idx % self.num_shards == self.shard_index:
-                        yield tail
+                    if tail:
+                        yield chunk_idx, tail
                     return
                 buf = tail + buf
                 cut = buf.rfind(b"\n")
@@ -120,9 +134,34 @@ class CriteoFileIterable:
                     tail = buf  # a single line longer than the chunk: keep reading
                     continue
                 tail = buf[cut + 1:]
-                if chunk_idx % self.num_shards == self.shard_index:
-                    yield buf[: cut + 1]
+                yield chunk_idx, buf[: cut + 1]
                 chunk_idx += 1
+
+    def _chunks(self) -> Iterator[bytes]:
+        """This host's chunks: every ``num_shards``-th one by stride."""
+        for idx, chunk in self._all_chunks():
+            if idx % self.num_shards == self.shard_index:
+                yield chunk
+
+    @staticmethod
+    def _chunk_rows(chunk: bytes) -> int:
+        # one row per newline, plus a trailing unterminated line (the file
+        # tail) — matching parse_criteo_tsv's segment semantics exactly
+        return chunk.count(b"\n") + (0 if chunk.endswith(b"\n") else 1)
+
+    def shard_batch_counts(self) -> list:
+        """Full batches each shard will yield this epoch (``drop_remainder``
+        semantics): one newline-counting pass over the file, cached by
+        (path, size, mtime).  Identical on every host by construction."""
+        st = os.stat(self.path)
+        key = (self.path, st.st_size, st.st_mtime_ns, self.chunk_bytes,
+               self.num_shards)
+        if self._count_cache is None or self._count_cache[0] != key:
+            rows = [0] * self.num_shards
+            for idx, chunk in self._all_chunks():
+                rows[idx % self.num_shards] += self._chunk_rows(chunk)
+            self._count_cache = (key, rows)
+        return [r // self.batch_size for r in self._count_cache[1]]
 
     # -- epoch iterator ----------------------------------------------------
 
@@ -130,8 +169,18 @@ class CriteoFileIterable:
         rng = np.random.default_rng(self.seed + self._epoch)
         self._epoch += 1
         bs = self.batch_size
+        # Multi-host: every host stops at the global minimum batch count so
+        # all hosts dispatch the same number of SPMD steps (r4 ADVICE: chunk
+        # ownership is uneven, and a host whose loader runs longer hangs the
+        # collectives).
+        limit = None
+        if self.num_shards > 1 and self.sync_batches:
+            limit = min(self.shard_batch_counts())
+        emitted = 0
         carry: Optional[Dict[str, np.ndarray]] = None
         for raw in self._chunks():
+            if limit is not None and emitted >= limit:
+                return
             parsed = parse_criteo_tsv(raw, self.hash_sizes)
             cols = _columns(parsed, self.target_fields)
             n = len(cols[self.target_fields])
@@ -146,10 +195,13 @@ class CriteoFileIterable:
                 carry = None
             stop = n - (n % bs)
             for s in range(0, stop, bs):
+                if limit is not None and emitted >= limit:
+                    return
                 yield {k: v[s:s + bs] for k, v in cols.items()}
+                emitted += 1
             if stop < n:
                 carry = {k: v[stop:] for k, v in cols.items()}
-        if carry is not None and not self.drop_remainder:
+        if carry is not None and not self.drop_remainder and limit is None:
             yield carry
 
 

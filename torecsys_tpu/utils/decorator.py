@@ -27,6 +27,8 @@ from __future__ import annotations
 import functools
 import warnings
 
+import jax
+
 
 def in_development(reason: str = ""):
     """Mark a class/function as in development: warns once per process on
@@ -84,9 +86,18 @@ def not_jittable(fn):
 
     @functools.wraps(fn)
     def wrapper(*a, **k):
-        from jax._src import core as _core
-
-        if not _core.trace_state_clean():
+        # Public-API trace detection (r4 ADVICE: jax._src symbols move
+        # between releases).  `jax.core.trace_state_clean` is the public
+        # re-export today; degrade to a Tracer check on the arguments if a
+        # future JAX drops it, and to a no-op check as the last resort.
+        try:
+            in_trace = not jax.core.trace_state_clean()
+        except AttributeError:
+            in_trace = any(
+                isinstance(x, jax.core.Tracer)
+                for x in jax.tree_util.tree_leaves((a, k))
+            )
+        if in_trace:
             raise RuntimeError(
                 f"{fn.__name__} is host-side only (mutates Python state) and "
                 "was called inside a jax trace; call it before jit."
