@@ -56,9 +56,65 @@ def use_compute_dtype(dtype: Optional[str]):
         _state.dtype = prev
 
 
-def Dense(features: int, name: Optional[str] = None, use_bias: bool = True) -> nn.Dense:
+@contextlib.contextmanager
+def use_torch_linear_init():
+    """Trace/init-time context: :func:`Dense` layers initialize like
+    ``torch.nn.Linear`` (kaiming-uniform a=√5 kernel → U(±1/√fan_in), and
+    U(±1/√fan_in) bias) instead of flax's lecun-normal kernel + zero bias.
+
+    Exists for the parity harness (PARITY.md): the DeepFM AUC delta was
+    attributed to this init difference in r4; this context turns that
+    attribution into a falsifiable matched-init experiment.  Param names and
+    shapes are identical to a plain ``nn.Dense``, so checkpoints interop.
+    """
+    prev = getattr(_state, "torch_init", False)
+    _state.torch_init = True
+    try:
+        yield
+    finally:
+        _state.torch_init = prev
+
+
+class _TorchInitDense(nn.Module):
+    """``nn.Dense`` twin with torch.nn.Linear's default initialization.
+
+    Torch draws W ~ U(±1/√fan_in) (kaiming-uniform with a=√5) and
+    b ~ U(±1/√fan_in); flax's bias initializer cannot see fan_in, so the
+    whole layer is spelled out here.  Same param collection layout
+    (``kernel`` (fan_in, features), ``bias`` (features,)) as ``nn.Dense``.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        import jax
+
+        fan_in = x.shape[-1]
+        bound = float(fan_in) ** -0.5
+
+        def unif(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        kernel = self.param("kernel", unif, (fan_in, self.features))
+        bias = self.param("bias", unif, (self.features,)) if self.use_bias else None
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+            bias = bias.astype(self.dtype) if bias is not None else None
+        y = x @ kernel
+        return y + bias if bias is not None else y
+
+
+def Dense(features: int, name: Optional[str] = None, use_bias: bool = True):
     """``nn.Dense`` honoring the active compute dtype (param names, and so
-    checkpoint layout, are identical to a plain ``nn.Dense``)."""
+    checkpoint layout, are identical to a plain ``nn.Dense``).  Under
+    :func:`use_torch_linear_init` the torch-matched twin is built instead."""
+    if getattr(_state, "torch_init", False):
+        return _TorchInitDense(features, name=name, use_bias=use_bias,
+                               dtype=compute_dtype())
     return nn.Dense(
         features, name=name, use_bias=use_bias,
         dtype=compute_dtype(), param_dtype=jnp.float32,
@@ -70,4 +126,5 @@ def mha_dtype():
     return compute_dtype()
 
 
-__all__ = ["Dense", "compute_dtype", "mha_dtype", "use_compute_dtype"]
+__all__ = ["Dense", "compute_dtype", "mha_dtype", "use_compute_dtype",
+           "use_torch_linear_init"]

