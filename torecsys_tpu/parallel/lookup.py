@@ -79,35 +79,51 @@ class LookupContext:
 
 _state = threading.local()
 
-# Calibration anchor for the auto-strategy byte model: the compiled-HLO
-# comm-volume measurement (tools/comm_volume.py, recorded in SPEED.md) at
-# B=4096 × K=26 fields, E=16, ts=8, capacity_factor=2:
-#   psum      fwd+bwd = 18.8 MB   (factor-independent)
-#   alltoall  fwd+bwd = 16.4 MB,  of which the capacity-scaled exchange term
-#             is 2.2 MB — i.e. ~1.1 MB per unit of capacity_factor, the rest
-#             (~14.2 MB) the factor-independent output re-assembly/permutes.
-_CAL_PAYLOAD = 4096 * 26 * 16 * 4.0  # bytes of one (B, K, E) f32 activation
-_CAL_PSUM_MB = 18.8
-_CAL_A2A_BASE_MB = 14.2
-_CAL_A2A_PER_FACTOR_MB = 1.1
+# Auto-strategy byte model, calibrated against the compiled-HLO comm-volume
+# measurements in COMM_VOLUME.json (tools/comm_volume.py --sweep: 7 shapes
+# spanning E=16/64, ts=4/8, K=4/26, capacity 1..6).  Two structural facts
+# fall out of the per-collective byte counts:
+#
+# 1. Both strategies share a factor-independent output-assembly term, and
+#    psum's total exceeds it by EXACTLY one (B, K, E) activation pass:
+#    at every measured shape, psum_total − alltoall_assembly equals the
+#    per-device activation bytes (6.82 / 27.26 / 3.41 / 1.02 MB across the
+#    sweep).  The common term therefore cancels from the decision, which
+#    reduces to: alltoall wins iff its capacity-scaled exchange term is
+#    smaller than one activation pass.  (The r4 model scaled BOTH totals by
+#    the same payload factor, so the comparison degenerated to a constant
+#    capacity threshold — r4 ADVICE low-1; this model's two terms scale
+#    differently in E, ts and capacity.)
+# 2. The exchange term follows the implementation's bucket shape — per
+#    device, (ts, cap) id buckets plus (ts, cap, E) row and grad exchanges
+#    with cap = ceil(factor · m_local / ts), i.e. ts·cap·(4 + 8E) bytes —
+#    times a fitted slack _BETA for GSPMD's extra lowering passes (implied
+#    betas across the sweep: 1.08–1.23 at six of seven shapes; the K=4
+#    small-M shape implies 2.0 from bucket-rounding, where the decision is
+#    a <3% near-tie either way — tested with that tolerance).
+_BETA = 1.2
 
 
 def modeled_comm_mb(strategy: str, m_slots: int, embed_size: int,
-                    capacity_factor: float = 2.0) -> float:
-    """Modeled per-step (fwd+bwd) collective megabytes for a lookup.
+                    capacity_factor: float = 2.0, table_shards: int = 8,
+                    data_shards: int = 1) -> float:
+    """Modeled per-device, per-step (fwd+bwd) DIFFERENTIATING collective MB.
 
-    A linear model anchored to the measured HLO comm volumes above, scaled
-    by the lookup's activation payload ``m_slots × embed_size`` relative to
-    the calibration shape.  Used by strategy="auto" to pick the cheaper
-    collective; implied crossover: alltoall wins while
-    ``capacity_factor < ~4.2`` at the calibration shape.
+    The factor-independent assembly term common to both strategies is
+    excluded from BOTH (it cancels in the auto decision — see the
+    calibration notes above): "psum" returns its distinguishing extra
+    activation all-reduce pass; "alltoall" returns its capacity-scaled
+    id/row/grad exchange.  Validated against measured HLO volumes at every
+    COMM_VOLUME.json shape by ``tests/test_parallel.py``.
     """
-    scale = (m_slots * embed_size * 4.0) / _CAL_PAYLOAD
+    m_dev = m_slots / max(1, data_shards)
     if strategy == "psum":
-        return _CAL_PSUM_MB * scale
+        return m_dev * embed_size * 4.0 / 1e6
     if strategy == "alltoall":
-        return (_CAL_A2A_BASE_MB
-                + _CAL_A2A_PER_FACTOR_MB * capacity_factor) * scale
+        ts = max(1, table_shards)
+        m_local = m_dev / ts
+        cap = max(1.0, -(-capacity_factor * m_local // ts))
+        return _BETA * ts * cap * (4.0 + 8.0 * embed_size) / 1e6
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
@@ -116,8 +132,12 @@ def resolve_strategy(ctx: "LookupContext", m_slots: int,
     """Resolve ``ctx.strategy`` ("auto" → the modeled-cheaper collective)."""
     if ctx.strategy != "auto":
         return ctx.strategy
-    a2a = modeled_comm_mb("alltoall", m_slots, embed_size, ctx.capacity_factor)
-    psum = modeled_comm_mb("psum", m_slots, embed_size)
+    ts = ctx.mesh.shape.get(ctx.table_axis, 1)
+    dp = ctx.mesh.shape.get(ctx.data_axis, 1)
+    a2a = modeled_comm_mb("alltoall", m_slots, embed_size,
+                          ctx.capacity_factor, ts, dp)
+    psum = modeled_comm_mb("psum", m_slots, embed_size, table_shards=ts,
+                           data_shards=dp)
     return "alltoall" if a2a < psum else "psum"
 
 
