@@ -249,6 +249,39 @@ def breakdown():
     out["emb_train"] = _timed_scan(train_body, (table, slots, jnp.zeros(())), ids)
     del table, slots
 
+    # same stage through the TRUSTED presorted route (the full step's path:
+    # host aux precomputed, device skips sort/scan/scatter)
+    from torecsys_tpu.data.presort import AUX_NAMES, Presorter, PresortSpec
+
+    pack = w // EMBED
+    spec = PresortSpec(("ids",), (0,), pack, vp)
+    presorter = Presorter([spec])
+    aux_steps = []
+    for i in range(ids.shape[0]):
+        ob = presorter({"ids": np.asarray(ids[i]).reshape(-1)})
+        aux_steps.append([ob[spec.aux_key(n)] for n in AUX_NAMES])
+    aux_stacked = tuple(
+        jnp.asarray(np.stack([a[j] for a in aux_steps]))
+        for j in range(len(AUX_NAMES))
+    )
+    table = make_table()
+    slots = row_tx.init(table)
+
+    def train_pre_body(carry, xs):
+        t, sl, acc = carry
+        step_ids, order, lo, seg, uids, n_unique = xs
+        o = packed_lookup(jax.lax.stop_gradient(t), step_ids, EMBED)
+        g = (2.0 * o).reshape(-1, EMBED)
+        aux = {"order": order, "lo": lo, "seg": seg, "uids": uids,
+               "n_unique": n_unique}
+        t, sl = row_tx.update_from_host_aux(t, sl, g, aux, jnp.int32(1))
+        return (t, sl, acc + o.sum()), ()
+
+    out["emb_train_pre"] = _timed_scan(
+        train_pre_body, (table, slots, jnp.zeros(())), (ids, *aux_stacked)
+    )
+    del table, slots
+
     # tiny-table run: the tower's share of the full step
     saved = FIELD_SIZES
     FIELD_SIZES = tuple([100] * len(saved))
@@ -265,8 +298,9 @@ def breakdown():
     summary = {
         "metric": "deepfm_step_breakdown_ms",
         **out,
-        "emb_update_derived": round(out["emb_train"] - out["emb_fwd"], 3),
-        "unattributed": round(out["full"] - out["emb_train"] - out["tower"], 3),
+        "emb_update_derived": round(out["emb_train_pre"] - out["emb_fwd"], 3),
+        "unattributed": round(
+            out["full"] - out["emb_train_pre"] - out["tower"], 3),
         "examples_per_sec_full": round(full_eps, 1),
     }
     print(json.dumps(summary))

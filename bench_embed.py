@@ -273,7 +273,8 @@ if __name__ == "__main__":
     import sys
 
     rows = [int(a) for a in sys.argv[1:] if a.isdigit()] or [500_000, 30_000_000]
-    modes = [a for a in sys.argv[1:] if not a.isdigit()] or ["fwd", "fwd_bwd", "train_row"]
+    modes = [a for a in sys.argv[1:] if not a.isdigit()] or [
+        "fwd", "fwd_bwd", "train_row", "train_row_pre"]
     check_kernel_numerics(np.random.default_rng(1))
     results = []
     for r in rows:

@@ -292,12 +292,19 @@ def _with_options(opts):
 @click.option("--min_rows_to_shard", default=None, type=int,
               help="tables with fewer stored rows replicate instead of "
                    "row-sharding (default: parallel.sharding's 65536)")
+@click.option("--presort/--no_presort", "presort", default=None,
+              help="host-side id-stream presorting for the sparse train "
+                   "path (data.presort); default: auto — on whenever the "
+                   "sparse route is active on an unsharded data axis")
+@click.option("--prefetch", default=4, type=int,
+              help="host input-pipeline look-ahead depth (0 disables the "
+                   "prefetch threads)")
 @_with_options(_shared_data_options)
 def train(model_config, inputs_config, criterion_config, optimizer_config,
           regularizer_config, train_file, val_file, max_num_epochs,
           max_num_iterations, num_rows, checkpoint_dir, load_from, resume,
           data_parallel, table_parallel, steps_per_execution, lookup_strategy,
-          capacity_factor, min_rows_to_shard, target_fields,
+          capacity_factor, min_rows_to_shard, presort, prefetch, target_fields,
           batch_size, embed_size, data_format, criteo_hash_size, stream,
           stream_threshold_mb, stream_chunk_mb):
     """Train end-to-end: synthetic CTR data or a real file (CSV/Criteo TSV).
@@ -376,6 +383,8 @@ def train(model_config, inputs_config, criterion_config, optimizer_config,
         resume=resume,
         steps_per_execution=steps_per_execution,
         lookup_options=lookup_options,
+        presort=presort,
+        prefetch=prefetch,
     )
     metrics = trainer.fit(
         train_loader,

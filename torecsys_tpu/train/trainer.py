@@ -269,7 +269,11 @@ class Trainer:
 
     def _place_batch(self, batch: Dict[str, np.ndarray], stacked: bool = False):
         if self.mesh is None:
-            return batch
+            # Explicit placement instead of jit's implicit numpy conversion:
+            # measured 2x fewer per-dispatch stalls on the tunneled runtime
+            # for host-fed batches (SPEED.md file-fed decomposition), and a
+            # no-op cost on standard hosts.
+            return jax.device_put(batch)
         if jax.process_count() > 1:
             # multi-host: each process holds only ITS shard of the global
             # batch (per-host file sharding); assemble global data-sharded
