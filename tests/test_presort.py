@@ -280,3 +280,47 @@ class TestPrefetch:
         got = [next(it) for _ in range(3)]
         it.close()
         assert got == [0, 1, 2]
+
+
+class TestFieldAwarePresort:
+    def test_ffm_trainer_presort_parity(self):
+        """The field-aware spec (slot (i,j) -> field j + offset off[j] +
+        i*rows_per_table) through a full FFM fit: presort-on must equal
+        presort-off bitwise."""
+        from torecsys_tpu.train import Pipeline, Trainer
+
+        sizes = (600, 400)
+
+        def make_batches(n, b=64):
+            r = np.random.default_rng(7)
+            return [
+                {"c0": r.integers(0, sizes[0], b).astype(np.int32),
+                 "c1": r.integers(0, sizes[1], b).astype(np.int32),
+                 "d0": r.normal(size=b).astype(np.float32),
+                 "label": r.integers(0, 2, b).astype(np.float32)}
+                for _ in range(n)
+            ]
+
+        def build(presort):
+            inputs = Inputs(schema={
+                "feat_inputs": ValueInput(fields=("d0",)),
+                "field_emb_inputs": MultiIndicesFieldAwareEmbedding(
+                    embed_size=16, field_sizes=sizes, fields=("c0", "c1")),
+            })
+            p = (Pipeline().set_objective("ctr").set_inputs(inputs)
+                 .set_model("FFM", num_fields=2)
+                 .set_criterion("BCEWithLogitsLoss")
+                 .set_optimizer("Adam", lr=1e-2).set_target_fields("label"))
+            p.sparse_embeddings = True
+            return Trainer(p, presort=presort, prefetch=2 if presort else 0,
+                           log_every=10_000)
+
+        batches = make_batches(4)
+        t_off = build(False)
+        t_off.fit(lambda: iter(batches), max_epochs=1)
+        t_on = build(True)
+        t_on.fit(lambda: iter(batches), max_epochs=1)
+        assert t_on._presorter is not None
+        for a, b in zip(jax.tree_util.tree_leaves(t_off.state.params),
+                        jax.tree_util.tree_leaves(t_on.state.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
