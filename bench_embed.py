@@ -196,6 +196,29 @@ def run(total_rows: int, mode: str, results: list):
         # sort+permute passes over (M,8B)+(M,64B) + widen/segsum over
         # (M,512B) + touched-row (table+mv) read&write
         bytes_per_lookup = w * 4 * 2
+    elif mode == "fwd_bwd_bf16":
+        # Dense training path with BF16 TABLE STORAGE (VERDICT r4 weak-6:
+        # the dense fallback is genuinely bandwidth-bound — 34-59% of the
+        # HBM roofline — so halving row bytes should nearly halve it;
+        # m/v slots follow the param dtype under optax).  f32 loss math:
+        # rows cast up after the gather.
+        tx = optax.adam(1e-3)
+        table = table.astype(jnp.bfloat16)
+        opt0 = tx.init(table)
+
+        def body(carry, step_ids):
+            t, opt, acc = carry
+            gfn = jax.grad(
+                lambda tt: (packed_lookup(tt, step_ids, EMBED)
+                            .astype(jnp.float32) ** 2).sum()
+            )
+            gr = gfn(t)
+            updates, opt = tx.update(gr, opt, t)
+            t = optax.apply_updates(t, updates)
+            return (t, opt, acc + gr.astype(jnp.float32).sum()), ()
+
+        init = (table, opt0, jnp.zeros(()))
+        bytes_per_lookup = w * 2 * 3 + (vp * w * 2 * 8) // m
     elif mode == "train_row_pre":
         # TRUSTED presorted route (VERDICT r4 ask #1): the id-stream sort /
         # segment / unique-row aux arrives from the host input pipeline

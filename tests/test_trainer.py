@@ -250,3 +250,34 @@ def test_bf16_compute_dtype_trains_to_parity(data):
         assert np.asarray(preds).dtype == np.float32  # f32 loss contract
     assert aucs["bfloat16"] > 0.6, aucs
     assert abs(aucs["bfloat16"] - aucs[None]) < 0.02, aucs
+
+
+def test_bf16_table_storage_trains_dense(data):
+    """set_table_dtype('bfloat16'): table params STORE bf16 (halved HBM
+    traffic/memory on the bandwidth-bound dense path — SPEED.md), lookups
+    cast to f32 at the module boundary, training converges, and the
+    pipeline stays on the dense path even in sparse auto mode."""
+    import jax.numpy as jnp
+
+    from torecsys_tpu.train.sparse import is_hybrid_opt_state
+
+    p = (Pipeline().set_objective("ctr").set_inputs(make_inputs())
+         .set_model("FM").set_criterion("BCEWithLogitsLoss")
+         .set_optimizer("Adam", lr=0.01).set_target_fields("label")
+         .set_table_dtype("bfloat16"))
+    tr = Trainer(p, log_every=10_000)
+    m = tr.fit(loader(data, 0, 18000), val_loader=loader(data, 18000, 20000),
+               max_epochs=3)
+    table = tr.state.params["inputs"]["schema_emb_inputs"]["embedding"]
+    assert table.dtype == jnp.bfloat16
+    assert not is_hybrid_opt_state(tr.state.opt_state)
+    assert m["val_auc"] > 0.6, m
+
+
+def test_bf16_table_storage_rejects_sparse():
+    p = (Pipeline().set_objective("ctr").set_inputs(make_inputs())
+         .set_model("FM").set_optimizer("Adam", lr=0.01)
+         .set_target_fields("label")
+         .set_sparse_embeddings(True).set_table_dtype("bfloat16"))
+    with pytest.raises(ValueError, match="dense embedding path"):
+        p.finalize()

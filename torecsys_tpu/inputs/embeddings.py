@@ -69,6 +69,20 @@ def _xavier_uniform():
     return nn.initializers.xavier_uniform()
 
 
+def _table_param_dtype():
+    """Storage dtype of embedding-table params (layers.precision context;
+    f32 default — bf16 halves the DENSE path's table traffic, SPEED.md)."""
+    from torecsys_tpu.layers.precision import table_dtype
+
+    return table_dtype() or jnp.float32
+
+
+def _as_f32(rows: jnp.ndarray) -> jnp.ndarray:
+    """Cast looked-up rows to f32 at the module boundary: interaction and
+    loss math stays full precision regardless of the storage dtype."""
+    return rows.astype(jnp.float32) if rows.dtype != jnp.float32 else rows
+
+
 def _xavier_uniform_logical(total_rows: int, embed_size: int):
     """Xavier-uniform with the *logical* ``(V, E)`` fan, applied to a packed
     ``(V/P, P*E)`` stored shape (packing must not change the init scale)."""
@@ -121,15 +135,16 @@ class SingleIndexEmbedding(BaseInput):
 
     @nn.compact
     def __call__(self, batch: Batch, training: bool = False) -> jnp.ndarray:
+        dtype = _table_param_dtype()
         if self.pretrained is not None:
-            init = lambda *_: jnp.asarray(self.pretrained, dtype=jnp.float32)
+            init = lambda *_: jnp.asarray(self.pretrained, dtype=dtype)
         else:
-            init = nn.initializers.normal(stddev=0.01)
+            init = nn.initializers.normal(stddev=0.01, dtype=dtype)
         table = self.param("embedding", init, (self.field_size, self.embed_size))
         ids = self._stack_fields(batch, self.fields)  # (B, 1)
         if sparse_grads_enabled():
             return self._sparse_lookup(table, ids, _find_presort_aux(self, batch))
-        return maybe_sharded_lookup(table, ids)  # (B, 1, E)
+        return _as_f32(maybe_sharded_lookup(table, ids))  # (B, 1, E)
 
     def _sparse_lookup(self, table, ids, aux=None):
         """Touched-rows-only gradient path (see ``ops.sparse``): rows come
@@ -172,7 +187,8 @@ class MultiIndicesEmbedding(BaseInput):
         # 4.2x faster scatter-add gradients on TPU for E=16).
         self.table = self.param(
             "embedding",
-            nn.initializers.normal(stddev=self.init_std),
+            nn.initializers.normal(stddev=self.init_std,
+                                   dtype=_table_param_dtype()),
             packed_shape(total, self.embed_size),
         )
         self.offsets = field_offsets(self.field_sizes)
@@ -198,7 +214,9 @@ class MultiIndicesEmbedding(BaseInput):
             self.sow("lookup_ids", "ids", shifted)
             _sow_presort_aux(self, aux)
             return rows
-        return maybe_sharded_packed_lookup(self.table, shifted, self.embed_size)
+        return _as_f32(
+            maybe_sharded_packed_lookup(self.table, shifted, self.embed_size)
+        )
 
 
 class MultiIndicesFieldAwareEmbedding(BaseInput):
@@ -226,6 +244,7 @@ class MultiIndicesFieldAwareEmbedding(BaseInput):
             "embedding",
             _xavier_uniform_logical(total, self.embed_size),
             (n, *packed_shape(total, self.embed_size)),
+            _table_param_dtype(),
         )
         self.offsets = field_offsets(self.field_sizes)
 
@@ -245,7 +264,7 @@ class MultiIndicesFieldAwareEmbedding(BaseInput):
                 lambda t: maybe_sharded_packed_lookup(t, shifted, self.embed_size)
             )(self.tables)
             out = jnp.transpose(per_table, (1, 0, 2, 3))  # (B, Ntab, Nfield, E)
-            out = out.reshape(b, n * n, self.embed_size)
+            out = _as_f32(out.reshape(b, n * n, self.embed_size))
         if self.flatten:
             out = out.reshape(b, 1, -1)
         return out

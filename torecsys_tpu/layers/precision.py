@@ -56,6 +56,38 @@ def use_compute_dtype(dtype: Optional[str]):
         _state.dtype = prev
 
 
+def table_dtype():
+    """Active embedding-table STORAGE dtype (None = float32)."""
+    return getattr(_state, "table_dtype", None)
+
+
+@contextlib.contextmanager
+def use_table_dtype(dtype: Optional[str]):
+    """Trace/init-time context: embedding tables are STORED in ``dtype``.
+
+    For the DENSE training path, which is genuinely HBM-bandwidth-bound
+    (34–59% of the v5e roofline at 8M–30M rows — SPEED.md): bf16 rows
+    halve table+m+v traffic, measured 32.45 → 21.70 ms/step at 30M rows
+    (−33%; the residual is the f32 dense cotangent buffer).  Lookup
+    outputs are cast to f32 at the module boundary so all interaction/loss
+    math is unchanged; optimizer slots follow the param dtype under optax.
+
+    The sparse touched-rows path keeps f32 storage (its fused kernels and
+    bitwise-parity contract are f32; it is issue-rate-bound, not
+    byte-bound, so bf16 would buy ~nothing there) — ``Pipeline.finalize``
+    rejects the combination loudly.
+    """
+    resolved = None
+    if dtype is not None and str(dtype) not in ("float32", "f32"):
+        resolved = jnp.dtype(dtype)
+    prev = getattr(_state, "table_dtype", None)
+    _state.table_dtype = resolved
+    try:
+        yield
+    finally:
+        _state.table_dtype = prev
+
+
 @contextlib.contextmanager
 def use_torch_linear_init():
     """Trace/init-time context: :func:`Dense` layers initialize like
@@ -126,5 +158,5 @@ def mha_dtype():
     return compute_dtype()
 
 
-__all__ = ["Dense", "compute_dtype", "mha_dtype", "use_compute_dtype",
-           "use_torch_linear_init"]
+__all__ = ["Dense", "compute_dtype", "mha_dtype", "table_dtype",
+           "use_compute_dtype", "use_table_dtype", "use_torch_linear_init"]

@@ -65,6 +65,7 @@ class Pipeline:
     # semantics); 'bfloat16' = MXU-native tower matmuls with f32 params and
     # f32 loss.  Convergence-guarded in tests/test_convergence.py.
     compute_dtype: Optional[str] = None
+    table_dtype: Optional[str] = None
 
     # ---- builder setters (each returns self for chaining) ---------------
 
@@ -127,6 +128,21 @@ class Pipeline:
         self.compute_dtype = dtype
         return self
 
+    def set_table_dtype(self, dtype: Optional[str]) -> "Pipeline":
+        """Embedding-table STORAGE dtype ('bfloat16' | None/'float32').
+
+        bf16 rows halve table + optimizer-slot HBM traffic and memory on
+        the DENSE training path, which is bandwidth-bound (measured v5e:
+        32.45 → 21.70 ms/step at 30M rows, SPEED.md); lookup outputs are
+        cast to f32 at the module boundary so model/loss math is
+        unchanged.  Incompatible with the sparse touched-rows path (f32
+        kernel contract; issue-rate-bound anyway) — setting this keeps
+        the pipeline on the dense path, and combining it with
+        ``set_sparse_embeddings(True)`` fails loudly in ``finalize``.
+        """
+        self.table_dtype = dtype
+        return self
+
     def row_optimizer(self):
         """Row-wise (lazy) optimizer for embedding tables, or None.
 
@@ -137,6 +153,14 @@ class Pipeline:
         from torecsys_tpu.ops.sparse import get_row_optimizer
 
         if self.sparse_embeddings is False:
+            return None
+        if (
+            self.table_dtype is not None
+            and str(self.table_dtype) not in ("float32", "f32")
+        ):
+            # bf16 table storage is a dense-path feature (finalize rejects
+            # the explicit-sparse combination; in auto mode the explicit
+            # dtype choice wins)
             return None
         if self.objective != "ctr":
             if self.sparse_embeddings is True:
@@ -190,6 +214,18 @@ class Pipeline:
                 self.num_negs = self.miner.num_negs
             if self.miner_target_field is None:
                 raise ValueError(f"objective {self.objective!r} requires set_miner_target_field")
+        if (
+            self.table_dtype is not None
+            and str(self.table_dtype) not in ("float32", "f32")
+            and self.sparse_embeddings
+        ):
+            raise ValueError(
+                f"table_dtype={self.table_dtype!r} requires the dense "
+                "embedding path: the sparse touched-rows kernels store f32 "
+                "rows (bitwise-parity contract) and the sparse path is "
+                "issue-rate-bound, not byte-bound — bf16 storage buys it "
+                "nothing.  Unset sparse_embeddings or table_dtype."
+            )
         return self
 
     def summary(self) -> str:
@@ -253,6 +289,8 @@ class Pipeline:
             p.set_sparse_embeddings(config["sparse_embeddings"])
         if config.get("compute_dtype") is not None:
             p.set_compute_dtype(config["compute_dtype"])
+        if config.get("table_dtype") is not None:
+            p.set_table_dtype(config["table_dtype"])
         if config.get("load_from") is not None:
             p.load_from = config["load_from"]
         return p

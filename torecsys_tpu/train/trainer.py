@@ -187,7 +187,12 @@ class Trainer:
         init_fn = jax.jit(
             lambda rngs, b: self.pipeline.sequential.init(rngs, b, training=False)
         )
-        variables = init_fn({"params": init_rng, "dropout": init_rng}, batch)
+        from torecsys_tpu.layers.precision import use_table_dtype
+
+        with use_table_dtype(self.pipeline.table_dtype):
+            # table STORAGE dtype is fixed at param creation (the context
+            # is read by the embedding modules' param initializers)
+            variables = init_fn({"params": init_rng, "dropout": init_rng}, batch)
         row_tx = self.pipeline.row_optimizer()
         paths = None
         if row_tx is not None:
