@@ -324,3 +324,46 @@ class TestFieldAwarePresort:
         for a, b in zip(jax.tree_util.tree_leaves(t_off.state.params),
                         jax.tree_util.tree_leaves(t_on.state.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_presort_with_stacked_dispatch_parity():
+    """presort aux must survive the steps_per_execution>1 stacked scan
+    dispatch ((K, B*F) aux arrays sliced per micro-batch) with the same
+    trained parameters as single-step dispatch."""
+    from torecsys_tpu.train import Pipeline, Trainer
+
+    sizes = (800, 300)
+
+    def make_batches(n, b=64):
+        r = np.random.default_rng(3)
+        return [
+            {"c0": r.integers(0, sizes[0], b).astype(np.int32),
+             "c1": r.integers(0, sizes[1], b).astype(np.int32),
+             "d0": r.normal(size=b).astype(np.float32),
+             "label": r.integers(0, 2, b).astype(np.float32)}
+            for _ in range(n)
+        ]
+
+    def build(spe):
+        inputs = Inputs(schema={
+            "feat_inputs": ValueInput(fields=("d0",)),
+            "emb_inputs": MultiIndicesEmbedding(
+                embed_size=16, field_sizes=sizes, fields=("c0", "c1")),
+        })
+        p = (Pipeline().set_objective("ctr").set_inputs(inputs)
+             .set_model("FM").set_criterion("BCEWithLogitsLoss")
+             .set_optimizer("Adam", lr=1e-2).set_target_fields("label"))
+        p.sparse_embeddings = True
+        return Trainer(p, presort=True, prefetch=2, log_every=10_000,
+                       steps_per_execution=spe)
+
+    batches = make_batches(6)
+    t1 = build(1)
+    t1.fit(lambda: iter(batches), max_epochs=1)
+    t3 = build(3)
+    t3.fit(lambda: iter(batches), max_epochs=1)
+    assert t3._presorter is not None
+    for a, b in zip(jax.tree_util.tree_leaves(t1.state.params),
+                    jax.tree_util.tree_leaves(t3.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
