@@ -52,17 +52,24 @@ def prefetch_map(
     fn = transform if transform is not None else (lambda x: x)
     it = iter(src)
     pending = collections.deque()
-    with ThreadPoolExecutor(max_workers=num_workers) as pool:
-        try:
-            for item in it:
-                pending.append(pool.submit(fn, item))
-                if len(pending) >= depth:
-                    yield pending.popleft().result()
-            while pending:
+    # no `with` block: a consumer that stops early (break / interpreter
+    # shutdown) closes this generator, and ThreadPoolExecutor.__exit__'s
+    # blocking join raises noisy teardown errors at interpreter exit —
+    # shut down non-blocking with futures cancelled instead.
+    pool = ThreadPoolExecutor(max_workers=num_workers)
+    try:
+        for item in it:
+            pending.append(pool.submit(fn, item))
+            if len(pending) >= depth:
                 yield pending.popleft().result()
-        finally:
-            for f in pending:
-                f.cancel()
+        while pending:
+            yield pending.popleft().result()
+        pool.shutdown(wait=True)
+    finally:
+        try:
+            pool.shutdown(wait=False, cancel_futures=True)
+        except Exception:
+            pass  # interpreter teardown: threading internals may be gone
 
 
 class Prefetcher:
