@@ -301,6 +301,10 @@ def breakdown():
         "emb_update_derived": round(out["emb_train_pre"] - out["emb_fwd"], 3),
         "unattributed": round(
             out["full"] - out["emb_train_pre"] - out["tower"], 3),
+        # host-side presort cost per batch (overlapped by prefetch workers
+        # in production — NOT part of the device step times above)
+        "host_presort_ms_per_batch": round(
+            getattr(measure, "last_presort_ms", float("nan")), 2),
         "examples_per_sec_full": round(full_eps, 1),
     }
     print(json.dumps(summary))

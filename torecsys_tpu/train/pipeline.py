@@ -240,6 +240,10 @@ class Pipeline:
             ("miner", type(self.miner).__name__ if self.miner else "-"),
             ("miner_target_field", self.miner_target_field or "-"),
             ("target_fields", self.target_fields),
+            ("sparse_embeddings", {None: "auto", True: "on",
+                                   False: "off"}[self.sparse_embeddings]),
+            ("compute_dtype", self.compute_dtype or "float32"),
+            ("table_dtype", self.table_dtype or "float32"),
         ]
         width = max(len(k) for k, _ in rows)
         return "\n".join(f"{k:{width}s} : {v}" for k, v in rows)
