@@ -367,3 +367,35 @@ def test_presort_with_stacked_dispatch_parity():
                     jax.tree_util.tree_leaves(t3.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+class TestWidenSegsumCarryChain:
+    @pytest.mark.parametrize("n_ids", [2, 3, 7])
+    def test_segments_spanning_tiles(self, np_rng, n_ids):
+        """A handful of huge segments spanning multiple TILE_P grid tiles:
+        stresses the cross-tile carry row (accumulate through 2+ tiles,
+        finalize exactly once) that random-id tests rarely hit."""
+        from torecsys_tpu.ops.pallas.sparse_update import (
+            TILE_P,
+            sorted_widen_segment_sum,
+        )
+
+        m, e, pack = 3 * TILE_P, 16, 8
+        ids = np.sort(np_rng.choice(n_ids * pack, size=m)).astype(np.int32)
+        g = np_rng.normal(size=(m, e)).astype(np.float32)
+        hi = ids // pack
+        lo = (ids % pack).astype(np.int32)
+        first = np.concatenate([[True], hi[1:] != hi[:-1]])
+        seg = np.cumsum(first).astype(np.int32) - 1
+        out = sorted_widen_segment_sum(
+            jnp.asarray(g), jnp.asarray(lo), jnp.asarray(seg), pack,
+            interpret=True,
+        )
+        oh = jax.nn.one_hot(lo, pack, dtype=np.float32)
+        wide = np.einsum("mp,me->mpe", oh, g).reshape(m, pack * e)
+        ref = jax.ops.segment_sum(
+            jnp.asarray(wide), jnp.asarray(seg), num_segments=m,
+            indices_are_sorted=True,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-3)
