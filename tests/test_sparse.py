@@ -302,12 +302,26 @@ def test_hybrid_state_created_only_when_supported():
     tr = Trainer(make_pipeline(None, optimizer="Adam"), log_every=10_000)
     tr.init_state(batch)
     assert not isinstance(tr.state.opt_state, dict)
-    # auto + big tables -> sparse (threshold is on total table elements)
+    # auto + big tables -> sparse (threshold is on total table elements;
+    # the PRESORTED threshold applies on this single-host unsharded rig —
+    # r5: presort moves the measured crossover down to ~192k rows)
     import torecsys_tpu.train.trainer as trmod
+    tr = Trainer(make_pipeline(None, optimizer="Adam"), log_every=10_000)
+    assert tr._presort_applicable()
+    orig = trmod.SPARSE_AUTO_MIN_ELEMENTS_PRESORTED
+    trmod.SPARSE_AUTO_MIN_ELEMENTS_PRESORTED = 1
+    try:
+        tr.init_state(batch)
+        assert isinstance(tr.state.opt_state, dict)
+    finally:
+        trmod.SPARSE_AUTO_MIN_ELEMENTS_PRESORTED = orig
+    # with presort force-disabled the (higher) on-device threshold governs
+    tr = Trainer(make_pipeline(None, optimizer="Adam"), log_every=10_000,
+                 presort=False)
+    assert not tr._presort_applicable()
     orig = trmod.SPARSE_AUTO_MIN_ELEMENTS
     trmod.SPARSE_AUTO_MIN_ELEMENTS = 1
     try:
-        tr = Trainer(make_pipeline(None, optimizer="Adam"), log_every=10_000)
         tr.init_state(batch)
         assert isinstance(tr.state.opt_state, dict)
     finally:

@@ -54,14 +54,18 @@ class LookupOverflowSuspected(RuntimeError):
     exhausted or disabled."""
 
 
-# Auto-sparse threshold in total embedding-table ELEMENTS (rows x embed).
-# Measured v5e crossover (bench_embed.py, batch 4096x26, E=16, SPEED.md r4):
-# dense full-table Adam wins clearly at 125k rows (1.36 ms/step vs sparse
-# 2.07), the touched-rows path wins from ~250k up (2.27 vs 2.38 at 250k;
-# 2.36 vs 3.20 at 500k; 3.61 vs 32.3 at 30M).  1<<22 elements = 256k rows
-# at E=16 — the conservative edge of the measured 150-250k crossover band
-# (r3's threshold was 1M rows; the r4 kernel work moved the crossover down).
+# Auto-sparse thresholds in total embedding-table ELEMENTS (rows x embed).
+# Measured v5e crossovers (bench_embed.py, batch 4096x26, E=16, SPEED.md):
+# WITHOUT host presort (sharded-data / multi-host runs), dense full-table
+# Adam wins at 125k rows (1.37 ms/step vs sparse 2.02) and still edges
+# sparse at 250k (2.32 vs 2.49); sparse wins from ~500k (2.27 vs 3.15) —
+# 1<<22 elements = 256k rows at E=16, the conservative edge.  WITH the
+# trusted presorted route (the default on single-host unsharded-data runs)
+# the r5 measurements move the crossover down: dense wins at 125k by only
+# 6% (1.37 vs 1.45) and loses decisively at 250k (2.32 vs 1.55) — 3<<20
+# elements = 192k rows, the conservative edge of that 125-250k band.
 SPARSE_AUTO_MIN_ELEMENTS = 1 << 22
+SPARSE_AUTO_MIN_ELEMENTS_PRESORTED = 3 << 20
 
 
 class Trainer:
@@ -200,16 +204,21 @@ class Trainer:
                 self.pipeline.sequential, variables["params"], batch
             )
             if self.pipeline.sparse_embeddings is None and paths:
-                # Auto mode: the lazy path has a ~fixed per-step cost (sort +
-                # dedup/update kernels) while dense optimizer cost grows
-                # with table size; measured v5e crossover is ~150-250k
-                # logical rows at E=16 (SPARSE_AUTO_MIN_ELEMENTS = 256k
-                # rows x E, the conservative edge).  Below it dense wins.
+                # Auto mode: the lazy path has a ~fixed per-step cost
+                # (dedup/update kernels) while dense optimizer cost grows
+                # with table size.  The measured crossover depends on
+                # whether the trusted presorted route will apply (see the
+                # threshold constants above): presort removes the sparse
+                # path's device-side sort/scan passes, moving the
+                # break-even down to ~150k logical rows at E=16.
                 from flax import traverse_util
 
                 flat = traverse_util.flatten_dict(variables["params"], sep="/")
                 total_elems = sum(flat[p].size for p in paths)
-                if total_elems < SPARSE_AUTO_MIN_ELEMENTS:
+                threshold = (SPARSE_AUTO_MIN_ELEMENTS_PRESORTED
+                             if self._presort_applicable()
+                             else SPARSE_AUTO_MIN_ELEMENTS)
+                if total_elems < threshold:
                     row_tx, paths = None, None
         state = TrainState.create(
             variables,
@@ -343,6 +352,17 @@ class Trainer:
         re-iterated (one-shot generators only survive a single epoch)."""
         return iter(loader() if callable(loader) else loader)
 
+    def _presort_applicable(self) -> bool:
+        """Would host presorting run for this configuration (ignoring the
+        sparse-path decision itself)?  Also steers the auto-sparse element
+        threshold: the presorted route's dense-vs-sparse crossover sits
+        lower than the on-device route's."""
+        if self.presort is False:
+            return False
+        if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+            return False
+        return jax.process_count() == 1
+
     def _setup_presorter(self):
         """Build the host presorter once state exists (the sparse-vs-dense
         decision — including the auto element threshold — is made in
@@ -351,16 +371,13 @@ class Trainer:
             return
         if self.presort is False or not getattr(self, "_sparse", False):
             return
-        if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+        if not self._presort_applicable():
             if self.presort:
                 logger.warning(
-                    "presort disabled: the data mesh axis is sharded and the "
-                    "host aux describes the global batch"
+                    "presort disabled: requires a single-host run with an "
+                    "unsharded data mesh axis (the host aux describes the "
+                    "global batch)"
                 )
-            return
-        if jax.process_count() > 1:
-            if self.presort:
-                logger.warning("presort disabled: multi-host run")
             return
         from torecsys_tpu.data.presort import Presorter, build_presort_specs
 
