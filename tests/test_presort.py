@@ -47,12 +47,21 @@ def _spec(sizes, pack=8):
 
 
 class TestHostPreprocessing:
-    def test_native_matches_numpy(self, np_rng):
+    @pytest.mark.parametrize("case", [
+        # (field sizes, batch, pack) — incl. degenerate single-field,
+        # extreme duplication (size-1 vocab), big vocabs (radix passes),
+        # and every supported pack factor
+        ([100, 50, 4000, 8, 300, 77], 512, 8),
+        ([1], 256, 1),
+        ([1, 1, 1], 128, 4),
+        ([3_000_000, 9], 1024, 2),
+        ([65536] * 4, 333, 8),
+    ])
+    def test_native_matches_numpy(self, np_rng, case):
         if presort_lib() is None:
             pytest.skip("no C++ toolchain")
-        sizes = [100, 50, 4000, 8, 300, 77]
-        spec = _spec(sizes)
-        b = 512
+        sizes, b, pack = case
+        spec = _spec(sizes, pack=pack)
         batch = {f"f{i}": np_rng.integers(0, s, b).astype(np.int32)
                  for i, s in enumerate(sizes)}
         native = Presorter([spec])(dict(batch))
@@ -60,7 +69,7 @@ class TestHostPreprocessing:
         for name in AUX_NAMES:
             np.testing.assert_array_equal(
                 native[spec.aux_key(name)], fallback[spec.aux_key(name)],
-                err_msg=name,
+                err_msg=f"{name} {case}",
             )
 
     def test_numpy_aux_contract(self, np_rng):
@@ -132,7 +141,7 @@ class TestSpecDerivation:
 
 
 class TestWidenSegsumKernel:
-    @pytest.mark.parametrize("pack", [1, 8])
+    @pytest.mark.parametrize("pack", [1, 2, 4, 8])
     def test_matches_xla(self, np_rng, pack):
         from torecsys_tpu.ops.pallas.sparse_update import (
             sorted_widen_segment_sum,
